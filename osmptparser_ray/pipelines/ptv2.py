@@ -1,0 +1,75 @@
+"""End-to-end pipelines: pages → element tables → PT routes / areas.
+
+The Ray-Data-native equivalent of the reference's three entry points
+(``Parser::new`` + ``get_public_transports`` / ``get_areas`` / CLI,
+reference mod.rs:147-173, 511-527, 580-654, bin.rs:42-84).
+
+Default parameters mirror the reference: CLI gap 150.0 m (bin.rs:38-39),
+integration-test gap 1500.0 m (tests/integration_test.rs:6).
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional
+
+import ray.data as rd
+
+from ..kernel.filters import AA, PTV2
+from ..stages.assemble import cli_area_filter, get_areas, get_public_transports
+from ..stages.elements import (
+    ParserTables,
+    build_parser_tables,
+    extract_elements,
+    read_pages,
+)
+
+DEFAULT_GAP = 150.0
+
+
+def parser_tables_from_pages(
+    pages_path: str,
+    filters: str,
+    *,
+    validate: bool = True,
+    dedup: bool = False,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> ParserTables:
+    """pages parquet → ParserTables (the reference Parser::new equivalent)."""
+    pages = read_pages(pages_path, validate=validate)
+    elements = extract_elements(pages, validate=validate, concurrency=concurrency)
+    return build_parser_tables(elements, filters, dedup=dedup)
+
+
+def public_transports_from_pages(
+    pages_path: str,
+    gap: float = DEFAULT_GAP,
+    filters: str = PTV2,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+    validate: bool = True,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> rd.Dataset:
+    """new_ptv2 + get_public_transports, end-to-end."""
+    tables = parser_tables_from_pages(
+        pages_path, filters, validate=validate, concurrency=concurrency
+    )
+    return get_public_transports(tables, gap, mode=mode, concurrency=concurrency)
+
+
+def areas_from_pages(
+    pages_path: str,
+    gap: float = DEFAULT_GAP,
+    filters: str = AA,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+    cli_parity: bool = False,
+    validate: bool = True,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> rd.Dataset:
+    """new(filters) + get_areas; ``cli_parity`` applies the CLI-only
+    status!=0 / empty-geometry drop (reference bin.rs:68-73)."""
+    tables = parser_tables_from_pages(
+        pages_path, filters, validate=validate, concurrency=concurrency
+    )
+    areas = get_areas(tables, gap, mode=mode, concurrency=concurrency)
+    return cli_area_filter(areas) if cli_parity else areas

@@ -1,0 +1,18 @@
+from .extract import OsmPayloadExtractor, extract_text
+from .osmxml import ELEMENT_SCHEMA, elements_to_xml, parse_osm_payload
+from .pages import (
+    PAGES_SCHEMA,
+    synthesize_pages_parquet,
+    synthesize_pages_table,
+)
+
+__all__ = [
+    "ELEMENT_SCHEMA",
+    "OsmPayloadExtractor",
+    "PAGES_SCHEMA",
+    "elements_to_xml",
+    "extract_text",
+    "parse_osm_payload",
+    "synthesize_pages_parquet",
+    "synthesize_pages_table",
+]

@@ -1,0 +1,67 @@
+"""OSM-payload extraction from web pages — the graft's stateful ingest stage.
+
+``OsmPayloadExtractor`` is a callable class meant for
+``pages.map_batches(OsmPayloadExtractor, batch_format="pyarrow",
+concurrency=N)`` — an actor pool whose per-actor state (compiled byte
+regex, XML parser tables) is built once in ``__init__`` and reused per
+batch (SURVEY.md §2.3: the graft's analogue of a model/tokenizer load).
+
+Contract (BASELINE.json input_hint): ``extract_text(html)`` must equal the
+page's ``text`` column byte-for-byte, for every url.
+
+Equivalent of the reference's blob-decode stage (S2, reference
+mod.rs:199-201/320-321/450-451) with PBF blob decoding replaced by
+HTML-embedded OSM XML extraction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .osmxml import columns_to_table, empty_columns, parse_osm_payload
+
+_PAYLOAD_RE = re.compile(
+    rb'<script type="application/osm\+xml" id="osm-payload">(.*?)</script>',
+    re.DOTALL,
+)
+
+
+def extract_text(html: bytes) -> str:
+    """Extract the embedded OSM payload from page html — byte-identical to
+    the ``text`` column ("" when the page carries no payload)."""
+    m = _PAYLOAD_RE.search(html)
+    return m.group(1).decode("utf-8") if m else ""
+
+
+class OsmPayloadExtractor:
+    """pages batch → unified element rows (+ provenance url)."""
+
+    def __init__(self, include_url: bool = False, validate: bool = True):
+        # compiled once per actor
+        self.payload_re = _PAYLOAD_RE
+        self.include_url = include_url
+        self.validate = validate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist() if self.validate and "text" in batch.column_names else None
+        cols = empty_columns()
+        page_urls: list[str] = []
+        for i, html in enumerate(htmls):
+            m = self.payload_re.search(html)
+            payload = m.group(1).decode("utf-8") if m else ""
+            if texts is not None and payload != texts[i]:
+                raise ValueError(
+                    f"extraction invariant violated for url={urls[i]!r}: "
+                    f"extracted text differs from the text column"
+                )
+            n = parse_osm_payload(payload, cols)
+            if self.include_url:
+                page_urls.extend([urls[i]] * n)
+        table = columns_to_table(cols)
+        if self.include_url:
+            table = table.append_column("url", pa.array(page_urls, pa.string()))
+        return table

@@ -1,0 +1,157 @@
+"""Deterministic Common-Crawl-style page corpus synthesis.
+
+Input-table shape per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Each page's ``text`` is an OSM XML payload (possibly empty); ``html`` is a
+page template with the payload embedded in a marked <script> block. The
+extraction contract: ``extract.extract_text(html) == text`` BYTE-IDENTICAL
+for every url (tested in tests/test_extract.py).
+
+``replicas`` scales the corpus: replica r offsets every element id by
+r * 10^12 and shifts longitudes by a bounded deterministic offset, producing
+r independent copies of the OSM fixture whose pipeline outcomes are known
+(per replica: one Broken relation, one 90-node OK relation). This gives
+arbitrarily large deterministic benchmark corpora with exact expected
+outputs — no wall-clock, no external data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..fixtures import load_osm_fixture
+from .osmxml import elements_to_xml
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+PAYLOAD_OPEN = '<script type="application/osm+xml" id="osm-payload">'
+PAYLOAD_CLOSE = "</script>"
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+_FILLER_ES = [
+    "Sistema integrado de transporte público.",
+    "Consulta los horarios y recorridos de tu línea.",
+    "La estación Metrovía permanecerá cerrada por obras.",
+    "Fundación Municipal de Transporte — avisos y novedades.",
+]
+_FILLER_EN = [
+    "Public transit network overview and live departures.",
+    "Explore route maps, stops and accessibility details.",
+    "Service alert: trolleybus line diverted this weekend.",
+    "Open data downloads for the metropolitan transit feed.",
+]
+
+ID_STRIDE = 10**12  # replica id offset; int64-safe for < 9.2e6 replicas
+
+
+def _shift_element(el: dict, kind: str, replica: int) -> dict:
+    """Deterministic replica transform: offset ids, shift lon (bounded)."""
+    if replica == 0:
+        return el
+    off = replica * ID_STRIDE
+    lon_shift = (replica % 100) * 0.5  # lons stay within [-80, -29]
+    out = dict(el)
+    out["id"] = el["id"] + off
+    if kind == "node":
+        out["lon"] = el["lon"] + lon_shift
+    elif kind == "way":
+        out["node_refs"] = [r + off for r in el["node_refs"]]
+    else:
+        out["members"] = [dict(m, ref=m["ref"] + off) for m in el["members"]]
+    return out
+
+
+def _page_html(rng: random.Random, title: str, payload: str, lang: str) -> bytes:
+    fillers = _FILLER_ES if lang == "es" else _FILLER_EN
+    paras = "".join(f"<p>{rng.choice(fillers)}</p>" for _ in range(rng.randint(1, 4)))
+    block = f"{PAYLOAD_OPEN}{payload}{PAYLOAD_CLOSE}" if payload else ""
+    html = (
+        f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+        f"<title>{title}</title></head><body><h1>{title}</h1>{paras}{block}"
+        f"<footer>© transit portal</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def synthesize_pages_table(
+    replicas: int = 1,
+    elements_per_page: int = 24,
+    empty_page_ratio: float = 0.2,
+    seed: int = 42,
+) -> pa.Table:
+    """Build the deterministic pages table in memory (Arrow)."""
+    fx = load_osm_fixture()
+    rng = random.Random(seed)
+    urls: list[str] = []
+    tss: list[datetime.datetime] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    seq = 0
+
+    def emit(payload: str, lang: str, title: str):
+        nonlocal seq
+        urls.append(f"https://osm.example/{seq:08d}")
+        tss.append(_EPOCH + datetime.timedelta(seconds=seq * 17))
+        htmls.append(_page_html(rng, title, payload, lang))
+        texts.append(payload)
+        langs.append(lang)
+        seq += 1
+
+    for r in range(replicas):
+        # group each replica's elements into pages: nodes, then ways, then
+        # relations (scan-order independence is exercised by the pipeline's
+        # set-semantics joins, not by page order)
+        chunks: list[tuple[str, list[dict]]] = []
+        for kind, key in (("node", "nodes"), ("way", "ways"), ("relation", "relations")):
+            els = [_shift_element(e, kind, r) for e in fx[key]]
+            for i in range(0, len(els), elements_per_page):
+                chunks.append((kind, els[i : i + elements_per_page]))
+        for kind, els in chunks:
+            lang = "es" if rng.random() < 0.7 else "en"
+            payload = elements_to_xml(
+                nodes=els if kind == "node" else (),
+                ways=els if kind == "way" else (),
+                relations=els if kind == "relation" else (),
+            )
+            emit(payload, lang, f"transit data shard {kind} r{r}")
+            if rng.random() < empty_page_ratio:
+                emit("", "en" if rng.random() < 0.5 else "es", "no data here")
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def synthesize_pages_parquet(
+    path: str,
+    replicas: int = 1,
+    elements_per_page: int = 24,
+    empty_page_ratio: float = 0.2,
+    seed: int = 42,
+    row_group_size: int = 2048,
+) -> str:
+    """Write the deterministic pages corpus to one parquet file; returns path."""
+    table = synthesize_pages_table(replicas, elements_per_page, empty_page_ratio, seed)
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return path

@@ -1,0 +1,483 @@
+"""Relation resolution + flatten: the reference's J3/J4 joins and
+``get_public_transports`` / ``get_areas`` drivers (mod.rs:511-654,
+664-722), Ray-Data-first.
+
+Two physical strategies, identical results (tested against each other):
+
+* ``mode="broadcast"`` (default): the member-way and node lookup tables are
+  ``ray.put`` once and read by every assembly actor (they are the SMALL
+  side — ids/coords only, pruned by the semi-joins). Per-relation
+  resolution is then a local dict lookup inside ``map_batches`` — no
+  shuffle at all. This mirrors the reference's shared read-only cache and
+  is the right plan while ways+nodes-of-interest fit a worker's heap
+  (country-scale OSM ≈ a few GB).
+
+* ``mode="shuffle"``: fully distributed — explode relation members, hash
+  join (`Dataset.join`) against ways on way_id, explode node refs, hash
+  join against nodes on node_id, then ``groupby(relation_id)`` reassembly
+  ordered by (member_pos, node_pos). Inner joins realize the reference's
+  silent missing-way/node filtering (mod.rs:672/680/693). This is the
+  10^12-scale path; partitioning key is the relation id end-to-end.
+
+Missing ways/nodes are silently dropped in both modes; member order and
+per-way node order are preserved (explicit member_pos/node_pos columns in
+the shuffle path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..kernel.geometry import NodeSeq, flatten_relation, flatten_single_way
+from ..util import default_actor_concurrency
+from .elements import ParserTables
+
+TAGS_T = pa.map_(pa.string(), pa.string())
+STOP_T = pa.struct(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("lat", pa.float64()),
+        pa.field("lon", pa.float64()),
+        pa.field("tags", TAGS_T),
+    ]
+)
+POINT_T = pa.struct([pa.field("lon", pa.float64()), pa.field("lat", pa.float64())])
+GEOM_T = pa.list_(pa.list_(POINT_T))
+
+PT_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("tags", TAGS_T),
+        pa.field("info", TAGS_T),
+        pa.field("stops", pa.list_(STOP_T)),
+        pa.field("geometry", GEOM_T),
+        pa.field("status_code", pa.int64()),
+        pa.field("status_detail", pa.string()),
+    ]
+)
+
+AREA_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("id_type", pa.string()),  # 'r' | 'w'
+        pa.field("tags", TAGS_T),
+        pa.field("info", TAGS_T),
+        pa.field("geometry", GEOM_T),
+        pa.field("status_code", pa.int64()),
+        pa.field("status_detail", pa.string()),
+    ]
+)
+
+
+def _geometry_value(segments) -> list:
+    return [
+        [{"lon": float(lon), "lat": float(lat)} for lon, lat in zip(seg.lons, seg.lats)]
+        for seg in segments
+    ]
+
+
+def collect_way_lookup(ways: rd.Dataset) -> dict[int, list[int]]:
+    """member way id → ordered node refs (broadcast side for assembly)."""
+    out: dict[int, list[int]] = {}
+    cols = ["id", "node_refs", "is_member"]
+    for b in ways.select_columns(cols).iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+        b = b.filter(b["is_member"])
+        for wid, refs in zip(b["id"].to_pylist(), b["node_refs"].to_pylist()):
+            out[wid] = refs
+    return out
+
+
+def collect_node_lookup(nodes: rd.Dataset) -> dict[int, tuple[float, float, list]]:
+    """node id → (lat, lon, tag-items) (broadcast side for assembly)."""
+    out: dict[int, tuple[float, float, list]] = {}
+    for b in nodes.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+        tags = b["tags"].to_pylist()
+        for i, (nid, lat, lon) in enumerate(
+            zip(b["id"].to_pylist(), b["lat"].to_pylist(), b["lon"].to_pylist())
+        ):
+            out[nid] = (lat, lon, tags[i])
+    return out
+
+
+class _BroadcastAssembler:
+    """relations batch → flattened PublicTransport / relation-Area rows.
+
+    Actor-pool stage: the two lookup dicts are fetched from the object
+    store ONCE per actor in __init__ (zero-copy plasma read of the shared
+    broadcast copy), then reused for every batch.
+    """
+
+    def __init__(self, ways_ref, nodes_ref, gap: float, closed: bool, as_area: bool):
+        self.ways: dict = ray.get(ways_ref)
+        self.nodes: dict = ray.get(nodes_ref)
+        self.gap = gap
+        self.closed = closed
+        self.as_area = as_area
+
+    def _resolve_seqs(self, way_ids: list[int]) -> list[NodeSeq]:
+        seqs = []
+        for wid in way_ids:
+            refs = self.ways.get(wid)
+            if refs is None:
+                continue  # missing way silently filtered (mod.rs:672)
+            pts = [(nid, *self.nodes[nid][:2]) for nid in refs if nid in self.nodes]
+            seqs.append(
+                NodeSeq.build(
+                    [p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts]
+                )
+            )
+        return seqs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        way_ids_col = batch["way_ids"].to_pylist()
+        stop_ids_col = batch["stop_ids"].to_pylist()
+        geoms, codes, details, stops_col = [], [], [], []
+        for rid, way_ids, stop_ids in zip(ids, way_ids_col, stop_ids_col):
+            seqs = self._resolve_seqs(way_ids)
+            segments, status = flatten_relation(seqs, self.gap, self.closed)
+            geoms.append(_geometry_value(segments))
+            codes.append(status.code)
+            details.append(status.detail)
+            if not self.as_area:
+                stops = []
+                for nid in stop_ids:
+                    hit = self.nodes.get(nid)
+                    if hit is None:
+                        continue  # missing stop silently filtered (mod.rs:693)
+                    stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})
+                stops_col.append(stops)
+        cols = {
+            "id": batch["id"],
+            "tags": batch["tags"],
+            "info": batch["info"],
+        }
+        if self.as_area:
+            out = pa.table(
+                {
+                    "id": batch["id"],
+                    "id_type": pa.array(["r"] * len(ids), pa.string()),
+                    "tags": batch["tags"],
+                    "info": batch["info"],
+                    "geometry": pa.array(geoms, GEOM_T),
+                    "status_code": pa.array(codes, pa.int64()),
+                    "status_detail": pa.array(details, pa.string()),
+                }
+            )
+            return out
+        cols["stops"] = pa.array(stops_col, pa.list_(STOP_T))
+        cols["geometry"] = pa.array(geoms, GEOM_T)
+        cols["status_code"] = pa.array(codes, pa.int64())
+        cols["status_detail"] = pa.array(details, pa.string())
+        return pa.table(cols)
+
+
+class _WayAreaFlattener:
+    """standalone ways → 'w'-type Area rows (reference mod.rs:596-647).
+
+    Needs only node coords for the way's own refs → broadcast node lookup.
+    """
+
+    def __init__(self, nodes_ref, gap: float):
+        self.nodes: dict = ray.get(nodes_ref)
+        self.gap = gap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["is_standalone"])
+        ids = batch["id"].to_pylist()
+        refs_col = batch["node_refs"].to_pylist()
+        geoms, codes, details = [], [], []
+        for refs in refs_col:
+            pts = [(nid, *self.nodes[nid][:2]) for nid in refs if nid in self.nodes]
+            seq = NodeSeq.build([p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts])
+            segments, status = flatten_single_way(seq, self.gap, True)
+            geoms.append(_geometry_value(segments))
+            codes.append(status.code)
+            details.append(status.detail)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "id_type": pa.array(["w"] * len(ids), pa.string()),
+                "tags": batch["tags"],
+                "info": batch["info"],
+                "geometry": pa.array(geoms, GEOM_T),
+                "status_code": pa.array(codes, pa.int64()),
+                "status_detail": pa.array(details, pa.string()),
+            }
+        )
+
+
+def get_public_transports(
+    tables: ParserTables,
+    gap: float,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+    num_partitions: Optional[int] = None,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> rd.Dataset:
+    """All filtered relations flattened (open) → PublicTransport rows.
+
+    Reference: get_public_transports (mod.rs:511-527). Output order is
+    nondeterministic, matching the reference's channel-drain order.
+    """
+    if mode == "shuffle":
+        return _assemble_shuffle(tables, gap, closed=False, as_area=False,
+                                 num_partitions=num_partitions)
+    ways_ref = ray.put(collect_way_lookup(tables.ways))
+    nodes_ref = ray.put(collect_node_lookup(tables.nodes))
+    return tables.relations.map_batches(
+        _BroadcastAssembler,
+        fn_constructor_kwargs={
+            "ways_ref": ways_ref,
+            "nodes_ref": nodes_ref,
+            "gap": gap,
+            "closed": False,
+            "as_area": False,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or default_actor_concurrency(),
+    )
+
+
+def get_areas(
+    tables: ParserTables,
+    gap: float,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+    num_partitions: Optional[int] = None,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> rd.Dataset:
+    """Relation areas ('r', closed) ∪ standalone way areas ('w', closed).
+
+    Reference: get_areas (mod.rs:580-654). The library returns ALL rows
+    including Broken; CLI-parity filtering (drop status!=0 / empty
+    geometry, bin.rs:68-73) is `cli_area_filter`.
+    """
+    nodes_ref = ray.put(collect_node_lookup(tables.nodes))
+    if mode == "shuffle":
+        rel_areas = _assemble_shuffle(tables, gap, closed=True, as_area=True,
+                                      num_partitions=num_partitions)
+    else:
+        ways_ref = ray.put(collect_way_lookup(tables.ways))
+        rel_areas = tables.relations.map_batches(
+            _BroadcastAssembler,
+            fn_constructor_kwargs={
+                "ways_ref": ways_ref,
+                "nodes_ref": nodes_ref,
+                "gap": gap,
+                "closed": True,
+                "as_area": True,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency or default_actor_concurrency(),
+        )
+    way_areas = tables.ways.map_batches(
+        _WayAreaFlattener,
+        fn_constructor_kwargs={"nodes_ref": nodes_ref, "gap": gap},
+        batch_format="pyarrow",
+        concurrency=concurrency or default_actor_concurrency(),
+    )
+    return rel_areas.union(way_areas)
+
+
+def cli_area_filter(areas: rd.Dataset) -> rd.Dataset:
+    """CLI-parity output filter: keep only status==0 with non-empty geometry
+    (reference bin.rs:68-73)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.equal(batch["status_code"], 0),
+            pc.greater(pc.list_value_length(batch["geometry"]), 0),
+        )
+        return batch.filter(ok)
+
+    return areas.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shuffle-mode assembly (the 10^12-scale path)
+# ---------------------------------------------------------------------------
+
+
+def _explode_members(batch: pa.Table) -> pa.Table:
+    """relations → one row per (relation_id, member_pos, way_id)."""
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    way_lists = batch["way_ids"].to_pylist()
+    counts = np.array([len(w) for w in way_lists], dtype=np.int64)
+    rel_ids = np.repeat(ids, counts)
+    member_pos = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, np.int64)
+    way_ids = np.concatenate([np.asarray(w, dtype=np.int64) for w in way_lists]) if way_lists else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "relation_id": pa.array(rel_ids, pa.int64()),
+            "member_pos": pa.array(member_pos.astype(np.int64), pa.int64()),
+            "way_id": pa.array(way_ids, pa.int64()),
+        }
+    )
+
+
+def _explode_way_refs(batch: pa.Table) -> pa.Table:
+    """member ways → one row per (way_id, node_pos, node_id).
+
+    Refs are exploded BEFORE the hash join so every join payload is scalar
+    (pyarrow's hash join cannot carry list columns as non-key fields).
+    """
+    batch = batch.filter(batch["is_member"])
+    refs = batch["node_refs"].combine_chunks()
+    counts = pc.list_value_length(refs).to_numpy(zero_copy_only=False).astype(np.int64)
+    wids = np.repeat(batch["id"].to_numpy(zero_copy_only=False), counts)
+    node_pos = (
+        np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, np.int64)
+    )
+    node_ids = refs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "way_id": pa.array(wids, pa.int64()),
+            "node_pos": pa.array(node_pos.astype(np.int64), pa.int64()),
+            "node_id": pa.array(node_ids, pa.int64()),
+        }
+    )
+
+
+def _group_flatten(g: pd.DataFrame, gap: float, closed: bool) -> pd.DataFrame:
+    """Per-relation reassembly + flatten for the shuffle path (map_groups).
+
+    Null ``lat`` rows are unmatched left-outer join probes: a missing way
+    (no node rows at all) or a missing node — both silently dropped, the
+    reference's resolution semantics (mod.rs:672/680/693). A relation whose
+    EVERY member is missing still yields a group (its sentinel rows), giving
+    seqs=[] → 501 Broken + empty geometry, exactly like the reference.
+    """
+    rid = int(g["relation_id"].iloc[0])
+    g = g.dropna(subset=["lat"])
+    g = g.sort_values(["member_pos", "node_pos"], kind="stable")
+    seqs: list[NodeSeq] = []
+    for _pos, way in g.groupby("member_pos", sort=True):
+        seqs.append(
+            NodeSeq.build(
+                way["node_id"].to_numpy(dtype=np.int64),
+                way["lat"].to_numpy(),
+                way["lon"].to_numpy(),
+            )
+        )
+    segments, status = flatten_relation(seqs, gap, closed)
+    return pd.DataFrame(
+        {
+            "id": [rid],
+            "geometry": [_geometry_value(segments)],
+            "status_code": [status.code],
+            "status_detail": [status.detail],
+        }
+    )
+
+
+def _assemble_shuffle(
+    tables: ParserTables,
+    gap: float,
+    *,
+    closed: bool,
+    as_area: bool,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Distributed explode→join→regroup assembly (see module docstring).
+
+    All join payloads are scalar int64/float64 columns (refs exploded before
+    joining); relation metadata (nested tags/info/stops) never enters a
+    shuffle — it is broadcast into the finishing stage keyed by relation id.
+    LEFT OUTER joins preserve relations/ways whose refs are missing so the
+    silent-filter semantics match the reference exactly.
+    """
+    # Size the shuffle to the cluster: each hash-join partition pins an
+    # aggregator ACTOR; two joins run concurrently in one streaming plan, so
+    # unbounded partitions × 1 CPU each can deadlock a small session (all
+    # CPUs held by idle aggregators, none left for the map tasks feeding
+    # them). Fractional aggregator CPUs keep map tasks schedulable.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    npart = num_partitions or max(2, min(64, cpus // 2))
+    agg_args = {"num_cpus": 0.25}
+    members = tables.relations.map_batches(_explode_members, batch_format="pyarrow")
+    way_nodes = tables.ways.map_batches(_explode_way_refs, batch_format="pyarrow")
+    joined_ways = members.join(
+        way_nodes,
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("way_id",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    node_coords = tables.nodes.select_columns(["id", "lat", "lon"])
+    joined_nodes = joined_ways.join(
+        node_coords,
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("node_id",),
+        right_on=("id",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    flat = joined_nodes.groupby("relation_id").map_groups(
+        partial(_group_flatten, gap=gap, closed=closed), batch_format="pandas"
+    )
+
+    # relation metadata + stop resolution: broadcast side inputs (the
+    # relations head table and the pruned node lookup are the SMALL sides)
+    meta: dict[int, tuple] = {}
+    for b in tables.relations.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        tag_items = b["tags"].to_pylist()
+        info_items = b["info"].to_pylist()
+        stop_lists = b["stop_ids"].to_pylist()
+        for i, rid in enumerate(b["id"].to_pylist()):
+            meta[rid] = (tag_items[i], info_items[i], stop_lists[i])
+    meta_ref = ray.put(meta)
+    nodes_ref = ray.put(collect_node_lookup(tables.nodes)) if not as_area else None
+
+    class FinishMeta:
+        """Attach broadcast tags/info (+ resolved stops for PT rows)."""
+
+        def __init__(self):
+            self.meta = ray.get(meta_ref)
+            self.nodes = ray.get(nodes_ref) if nodes_ref is not None else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_pylist()
+            tags = [self.meta[r][0] for r in ids]
+            infos = [self.meta[r][1] for r in ids]
+            geom = batch["geometry"]
+            if geom.type != GEOM_T:
+                # pandas→arrow inference may reorder the lon/lat struct
+                # fields; rebuild with the canonical type (rows here are
+                # one-per-relation — cheap)
+                geom = pa.array(geom.to_pylist(), GEOM_T)
+            cols: dict = {"id": batch["id"]}
+            if as_area:
+                cols["id_type"] = pa.array(["r"] * len(ids), pa.string())
+            cols["tags"] = pa.array(tags, TAGS_T)
+            cols["info"] = pa.array(infos, TAGS_T)
+            if not as_area:
+                stops_col = []
+                for r in ids:
+                    stops = []
+                    for nid in self.meta[r][2]:
+                        hit = self.nodes.get(nid)
+                        if hit is None:
+                            continue  # missing stop silently filtered (mod.rs:693)
+                        stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})
+                    stops_col.append(stops)
+                cols["stops"] = pa.array(stops_col, pa.list_(STOP_T))
+            cols["geometry"] = geom
+            cols["status_code"] = batch["status_code"]
+            cols["status_detail"] = batch["status_detail"]
+            order = (AREA_SCHEMA if as_area else PT_SCHEMA).names
+            return pa.table({k: cols[k] for k in order})
+
+    return flat.map_batches(
+        FinishMeta,
+        batch_format="pyarrow",
+        concurrency=default_actor_concurrency(),
+    )

@@ -1,0 +1,301 @@
+"""Element tables: the Ray-Data-native equivalent of the reference's
+3-pass ``Parser::new`` cache build (reference mod.rs:173-507).
+
+The reference scans the same PBF file three times (relations → ways →
+nodes), sharing ``Arc<RwLock<HashSet>>`` id-sets between passes. Here the
+page corpus is scanned ONCE into a unified element Dataset; the id-sets
+become small broadcast side-inputs (``ray.put`` of sorted int64 arrays,
+``np.isin``/searchsorted filters inside ``map_batches``) — the
+semi-joins J1/J2 of SURVEY.md §2.4. At 10^12-page scale the extracted
+element table is checkpointed to partitioned Parquet instead of being
+re-derived per consumer (``ingest_elements``).
+
+Fidelity notes vs the reference:
+* relations with zero way members are dropped (F8, mod.rs:253-257)
+* member ways get an EMPTY info map when used for assembly (F9, mod.rs:337)
+* standalone filter-matching ways with zero nodes are dropped (F10,
+  mod.rs:380-388)
+* member partition is ROLE-BLIND (F7, mod.rs:242-252): every node member is
+  a stop, every way member is route geometry (platforms included)
+* a way can be BOTH a relation member and a standalone filter match — the
+  reference stores it in both caches; we keep one row with two flags
+* duplicate ids across pages: nodes and member-ways dedup by id (last-wins
+  HashMap semantics, mod.rs:422/494 — any-wins here since payloads are
+  identical); relations and standalone ways are NOT deduped (Vec extend)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..kernel.filters import TagFilter
+from ..sources.extract import OsmPayloadExtractor
+from ..util import default_actor_concurrency
+
+
+def read_pages(path: str, validate: bool = True, **read_kwargs) -> rd.Dataset:
+    """Read the pages corpus with column pruning (only what extraction needs)."""
+    columns = ["url", "html", "text"] if validate else ["url", "html"]
+    return rd.read_parquet(path, columns=columns, **read_kwargs)
+
+
+def extract_elements(
+    pages: rd.Dataset,
+    *,
+    include_url: bool = False,
+    validate: bool = True,
+    batch_size: int = 64,
+    concurrency: Optional[int | tuple[int, int]] = None,
+) -> rd.Dataset:
+    """pages → unified element rows via the stateful extractor actor pool."""
+    return pages.map_batches(
+        OsmPayloadExtractor,
+        fn_constructor_kwargs={"include_url": include_url, "validate": validate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_actor_concurrency(),
+    )
+
+
+def _collect_int64(ds: rd.Dataset, column: str) -> np.ndarray:
+    """Collect ONE int64 column to the driver (small side: ids only)."""
+    parts = [
+        b[column].to_numpy(zero_copy_only=False)
+        for b in ds.select_columns([column]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+def _project_relations(batch: pa.Table, filters: str) -> pa.Table:
+    """kind=relation rows → RelationData projection (F5/F7/F8) with DSL
+    filter (F1). Stateless task fn — TagFilter compile is trivial."""
+    batch = batch.filter(pc.equal(batch["kind"], "relation"))
+    if batch.num_rows == 0:
+        return _empty_relations_table()
+    mask = TagFilter(filters).mask_table(batch, "tags")
+    batch = batch.filter(pa.array(mask))
+    if batch.num_rows == 0:
+        return _empty_relations_table()
+    refs = batch["member_refs"].to_pylist()
+    types = batch["member_types"].to_pylist()
+    way_ids, stop_ids = [], []
+    for mrefs, mtypes in zip(refs, types):
+        w, s = [], []
+        for ref, t in zip(mrefs, mtypes):
+            if t == 1:
+                w.append(ref)
+            elif t == 0:
+                s.append(ref)
+        way_ids.append(w)
+        stop_ids.append(s)
+    out = pa.table(
+        {
+            "id": batch["id"],
+            "tags": batch["tags"],
+            "info": batch["info"],
+            "way_ids": pa.array(way_ids, pa.list_(pa.int64())),
+            "stop_ids": pa.array(stop_ids, pa.list_(pa.int64())),
+        }
+    )
+    # F8: drop relations without way members
+    keep = pc.greater(pc.list_value_length(out["way_ids"]), 0)
+    return out.combine_chunks().filter(keep)
+
+
+def _empty_relations_table() -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "tags": pa.array([], pa.map_(pa.string(), pa.string())),
+            "info": pa.array([], pa.map_(pa.string(), pa.string())),
+            "way_ids": pa.array([], pa.list_(pa.int64())),
+            "stop_ids": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
+
+def _project_ways(batch: pa.Table, way_ids_ref, filters: str) -> pa.Table:
+    """kind=way rows → way projection with is_member / is_standalone flags.
+
+    ``way_ids_ref`` is a ray.put of the SORTED member-way id array
+    (broadcast semi-join J1): ray.get inside the task hits the local
+    plasma copy after the first fetch per node. Standalone selection
+    applies the DSL filter (F2) and drops zero-node ways (F10).
+    """
+    batch = batch.filter(pc.equal(batch["kind"], "way"))
+    way_ids = ray.get(way_ids_ref) if way_ids_ref is not None else np.empty(0, np.int64)
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    is_member = _isin_sorted(ids, way_ids)
+    matches = TagFilter(filters).mask_table(batch, "tags")
+    n_nodes = pc.list_value_length(batch["node_refs"]).to_numpy(zero_copy_only=False)
+    is_standalone = matches & (n_nodes > 0)
+    keep = is_member | is_standalone
+    out = pa.table(
+        {
+            "id": batch["id"],
+            "tags": batch["tags"],
+            "info": batch["info"],
+            "node_refs": batch["node_refs"],
+            "is_member": pa.array(is_member),
+            "is_standalone": pa.array(is_standalone),
+        }
+    )
+    return out.combine_chunks().filter(pa.array(keep))
+
+
+def _project_nodes(batch: pa.Table, node_ids_ref) -> pa.Table:
+    """kind=node rows ⋉ referenced-node-ids (broadcast semi-join J2)."""
+    batch = batch.filter(pc.equal(batch["kind"], "node"))
+    node_ids = ray.get(node_ids_ref) if node_ids_ref is not None else np.empty(0, np.int64)
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    keep = _isin_sorted(ids, node_ids)
+    out = pa.table(
+        {
+            "id": batch["id"],
+            "lat": batch["lat"],
+            "lon": batch["lon"],
+            "tags": batch["tags"],
+        }
+    )
+    return out.combine_chunks().filter(pa.array(keep))
+
+
+def _isin_sorted(values: np.ndarray, sorted_haystack: np.ndarray) -> np.ndarray:
+    """Vectorized membership against a sorted int64 array (binary search)."""
+    if len(sorted_haystack) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_haystack, values)
+    idx[idx >= len(sorted_haystack)] = len(sorted_haystack) - 1
+    return sorted_haystack[idx] == values
+
+
+def dedup_by_id(ds: rd.Dataset, num_partitions: int = 0) -> rd.Dataset:
+    """Exact dedup by ``id`` — hash-shuffle groupby + first-row-per-group.
+
+    Distributed realization of the reference's last-wins HashMap merge
+    (mod.rs:422, 494); with identical duplicate payloads any-wins ==
+    last-wins.
+    """
+    import pandas as pd
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return ds.groupby("id").map_groups(first, batch_format="pandas")
+
+
+@dataclass
+class ParserTables:
+    """The reference ``Parser`` cache as three Ray Datasets.
+
+    relations: id, tags, info, way_ids (ordered), stop_ids (ordered)
+    ways:      id, tags, info, node_refs, is_member, is_standalone
+    nodes:     id, lat, lon, tags  (semi-joined to referenced ids)
+    """
+
+    relations: rd.Dataset
+    ways: rd.Dataset
+    nodes: rd.Dataset
+
+
+def build_parser_tables(
+    elements: rd.Dataset,
+    filters: str,
+    *,
+    dedup: bool = False,
+    materialize: bool = True,
+) -> ParserTables:
+    """elements Dataset → ParserTables (one upstream scan, broadcast semi-joins).
+
+    ``elements`` is consumed THREE times (relations/ways/nodes derivation);
+    by default it is materialized once into the object store so the
+    upstream page scan + extraction runs once, mirroring the reference's
+    build-once cache. For corpora too large to pin, run ``ingest_elements``
+    to parquet first and pass ``rd.read_parquet(...)`` here with
+    ``materialize=False``.
+    """
+    if materialize:
+        elements = elements.materialize()
+
+    relations = elements.map_batches(
+        partial(_project_relations, filters=filters), batch_format="pyarrow"
+    )
+    # NOTE: relations are NOT deduped even when dedup=True — the reference
+    # extends a Vec (duplicate relation ids appear twice, mod.rs:293)
+    relations = relations.materialize()  # small: filtered head table
+
+    # broadcast side 1: member way ids (+ stop ids for the node pass)
+    way_id_arr = _flatten_list_column(relations, "way_ids")
+    stop_id_arr = _flatten_list_column(relations, "stop_ids")
+    way_ids_ref = ray.put(np.unique(way_id_arr))
+
+    ways = elements.map_batches(
+        partial(_project_ways, way_ids_ref=way_ids_ref, filters=filters),
+        batch_format="pyarrow",
+    )
+    if dedup:
+        ways = dedup_by_id(ways)
+    ways = ways.materialize()  # ids + refs of matched ways: small vs corpus
+
+    # broadcast side 2: referenced node ids = way refs ∪ stop ids
+    ref_arr = _flatten_list_column(ways, "node_refs")
+    node_ids_ref = ray.put(np.unique(np.concatenate([ref_arr, stop_id_arr])))
+
+    nodes = elements.map_batches(
+        partial(_project_nodes, node_ids_ref=node_ids_ref), batch_format="pyarrow"
+    )
+    if dedup:
+        nodes = dedup_by_id(nodes)
+
+    return ParserTables(relations=relations, ways=ways, nodes=nodes.materialize())
+
+
+def _flatten_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
+    """Flatten a list<int64> column to a single driver-side int64 array (ids only)."""
+    parts: list[np.ndarray] = []
+    for b in ds.select_columns([column]).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        col = b[column].combine_chunks()
+        parts.append(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def ingest_elements(
+    pages_path: str,
+    out_dir: str,
+    *,
+    validate: bool = True,
+    concurrency: Optional[int] = None,
+) -> str:
+    """One-pass page scan → element parquet (the at-scale checkpoint).
+
+    Partitioned parquet output (one file per block) — a failed run can
+    resume by skipping finished partitions (see state.checkpoint).
+    """
+    pages = read_pages(pages_path, validate=validate)
+    elements = extract_elements(pages, include_url=True, validate=validate, concurrency=concurrency)
+    elements.write_parquet(out_dir)
+    return out_dir
+
+
+__all__ = [
+    "ParserTables",
+    "build_parser_tables",
+    "dedup_by_id",
+    "extract_elements",
+    "ingest_elements",
+    "read_pages",
+]

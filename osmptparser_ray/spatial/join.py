@@ -1,0 +1,363 @@
+"""Spatial joins over the cell grid — groupby-on-cell shuffle + per-cell
+exact refine, with explicit salting for skewed mega-cells.
+
+Brand-new engine surface (north_rule): all joins are expressed as
+``groupby(cell[, salt])`` shuffles whose groups are refined with exact
+vectorized kernels (spatial.pip / kernel.geometry.haversine_m_vec).
+
+Partitioning assumptions (documented per operator):
+
+* ``pip_join``      — polygons are replicated to every cell their bbox
+  covers at ``level``; a point meets every candidate polygon in its own
+  cell. Exactness does not depend on ``level`` (only candidate-set size
+  does). ``salt > 1`` splits each cell's POINTS into ``salt`` sub-groups
+  and replicates the cell's polygons to each — handles dense urban
+  mega-cells without changing results.
+* ``knn_join``      — targets are replicated to their 3×3 cell
+  neighborhood; with ``level = choose_level_for_radius(radius_m)`` a
+  point's neighborhood is guaranteed to contain every target within
+  ``radius_m``, so the k nearest WITHIN radius_m are exact. Targets
+  beyond the neighborhood are not considered (fixed-radius kNN).
+* ``raster_vector_join`` — a route is replicated to every cell covered by
+  its segments' bboxes; tiles join on exact cell id equality.
+
+Ring payloads cross the shuffle as packed float64 binary blobs
+(pyarrow group shuffles cannot carry list columns through joins; binary
+is supported everywhere and zero-parse to numpy on the far side).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..kernel.geometry import haversine_m_vec
+from .cell import (
+    cell_neighbors,
+    choose_level_for_radius,
+    cover_bbox,
+    encode_cell,
+)
+from .pip import pack_ring, points_in_ring, ring_bbox, unpack_ring
+
+_SALT_MULT = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant
+
+
+def assign_cells(
+    ds: rd.Dataset,
+    level: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_col: str = "cell",
+) -> rd.Dataset:
+    """Add a uint64 cell column — fully vectorized per batch."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        cells = encode_cell(
+            batch[lat_col].to_numpy(zero_copy_only=False),
+            batch[lon_col].to_numpy(zero_copy_only=False),
+            level,
+        )
+        return batch.append_column(out_col, pa.array(cells, pa.uint64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _salt_of(ids: np.ndarray, salt: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) * _SALT_MULT) >> np.uint64(32)) % np.uint64(salt)
+
+
+def _points_rows(
+    batch: pa.Table, level: int, salt: int, id_col: str, lat_col: str, lon_col: str
+) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = batch[lat_col].to_numpy(zero_copy_only=False)
+    lons = batch[lon_col].to_numpy(zero_copy_only=False)
+    cells = encode_cell(lats, lons, level)
+    return pa.table(
+        {
+            "cell": pa.array(cells, pa.uint64()),
+            "salt": pa.array(_salt_of(ids, salt), pa.uint64()),
+            "kind": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
+            "pid": pa.array(ids, pa.int64()),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+            "blob": pa.array([None] * len(ids), pa.binary()),
+        }
+    )
+
+
+def _poly_rows(
+    batch: pa.Table, level: int, salt: int, id_col: str, ring_lat_col: str, ring_lon_col: str
+) -> pa.Table:
+    """Replicate each polygon to (cover cell × salt) rows with packed ring."""
+    ids = batch[id_col].to_pylist()
+    rlats = batch[ring_lat_col].to_pylist()
+    rlons = batch[ring_lon_col].to_pylist()
+    cells_out, salts_out, ids_out, blobs = [], [], [], []
+    for pid, la, lo in zip(ids, rlats, rlons):
+        if not la:
+            continue
+        blob = pack_ring(la, lo)
+        min_lon, min_lat, max_lon, max_lat = ring_bbox(la, lo)
+        cover = cover_bbox(min_lon, min_lat, max_lon, max_lat, level)
+        for c in cover:
+            for s in range(salt):
+                cells_out.append(c)
+                salts_out.append(s)
+                ids_out.append(pid)
+                blobs.append(blob)
+    n = len(ids_out)
+    return pa.table(
+        {
+            "cell": pa.array(np.asarray(cells_out, dtype=np.uint64), pa.uint64()),
+            "salt": pa.array(np.asarray(salts_out, dtype=np.uint64), pa.uint64()),
+            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "pid": pa.array(ids_out, pa.int64()),
+            "lat": pa.array([None] * n, pa.float64()),
+            "lon": pa.array([None] * n, pa.float64()),
+            "blob": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def _pip_refine(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-(cell,salt) exact refine: ray-cast every point vs every polygon."""
+    pts = g[g["kind"] == 0]
+    polys = g[g["kind"] == 1]
+    if len(pts) == 0 or len(polys) == 0:
+        return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
+                             "poly_id": pd.Series([], dtype="int64")})
+    lats = pts["lat"].to_numpy()
+    lons = pts["lon"].to_numpy()
+    pids = pts["pid"].to_numpy(dtype=np.int64)
+    out_p, out_g = [], []
+    # polygons may appear once per (cell,salt); dedup within group by id
+    seen: set = set()
+    for pid, blob in zip(polys["pid"].to_numpy(dtype=np.int64), polys["blob"]):
+        if pid in seen:
+            continue
+        seen.add(pid)
+        ry, rx = unpack_ring(blob)
+        hit = points_in_ring(lats, lons, ry, rx)
+        out_p.append(pids[hit])
+        out_g.append(np.full(int(hit.sum()), pid, dtype=np.int64))
+    if not out_p:
+        return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
+                             "poly_id": pd.Series([], dtype="int64")})
+    return pd.DataFrame(
+        {"point_id": np.concatenate(out_p), "poly_id": np.concatenate(out_g)}
+    )
+
+
+def pip_join(
+    points: rd.Dataset,
+    polygons: rd.Dataset,
+    level: int = 12,
+    *,
+    salt: int = 1,
+    point_id: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    poly_id: str = "poly_id",
+    ring_lat_col: str = "ring_lats",
+    ring_lon_col: str = "ring_lons",
+) -> rd.Dataset:
+    """point-in-polygon join → (point_id, poly_id) pairs.
+
+    points:   (point_id:int64, lat:f64, lon:f64, …)
+    polygons: (poly_id:int64, ring_lats:list<f64>, ring_lons:list<f64>, …)
+    """
+    prows = points.map_batches(
+        partial(_points_rows, level=level, salt=salt, id_col=point_id,
+                lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    )
+    grows = polygons.map_batches(
+        partial(_poly_rows, level=level, salt=salt, id_col=poly_id,
+                ring_lat_col=ring_lat_col, ring_lon_col=ring_lon_col),
+        batch_format="pyarrow",
+    )
+    both = prows.union(grows)
+    return both.groupby(["cell", "salt"]).map_groups(_pip_refine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# kNN (fixed-radius, per-tile, neighbor-ring replication)
+# ---------------------------------------------------------------------------
+
+
+def _target_rows(
+    batch: pa.Table, level: int, id_col: str, lat_col: str, lon_col: str
+) -> pa.Table:
+    """Replicate each target point to its 3×3 cell neighborhood."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = batch[lat_col].to_numpy(zero_copy_only=False)
+    lons = batch[lon_col].to_numpy(zero_copy_only=False)
+    cells = encode_cell(lats, lons, level)
+    neigh = cell_neighbors(cells)  # (n, 9)
+    n, m = neigh.shape
+    return pa.table(
+        {
+            "cell": pa.array(neigh.ravel(), pa.uint64()),
+            "kind": pa.array(np.ones(n * m, dtype=np.int8), pa.int8()),
+            "pid": pa.array(np.repeat(ids, m), pa.int64()),
+            "lat": pa.array(np.repeat(lats, m), pa.float64()),
+            "lon": pa.array(np.repeat(lons, m), pa.float64()),
+        }
+    )
+
+
+def _query_rows(batch: pa.Table, level: int, id_col: str, lat_col: str, lon_col: str) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = batch[lat_col].to_numpy(zero_copy_only=False)
+    lons = batch[lon_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "cell": pa.array(encode_cell(lats, lons, level), pa.uint64()),
+            "kind": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
+            "pid": pa.array(ids, pa.int64()),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+        }
+    )
+
+
+def _knn_refine(g: pd.DataFrame, k: int, radius_m: float) -> pd.DataFrame:
+    queries = g[g["kind"] == 0]
+    targets = g[g["kind"] == 1].drop_duplicates(subset="pid")
+    empty = pd.DataFrame(
+        {
+            "point_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "dist_m": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(queries) == 0 or len(targets) == 0:
+        return empty
+    qlat = queries["lat"].to_numpy()
+    qlon = queries["lon"].to_numpy()
+    tlat = targets["lat"].to_numpy()
+    tlon = targets["lon"].to_numpy()
+    qid = queries["pid"].to_numpy(dtype=np.int64)
+    tid = targets["pid"].to_numpy(dtype=np.int64)
+    # (Q, T) haversine matrix — vectorized
+    d = haversine_m_vec(qlat[:, None], qlon[:, None], tlat[None, :], tlon[None, :])
+    out = []
+    kk = min(k, d.shape[1])
+    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(d.shape[0])[:, None]
+    dk = d[rows, idx]
+    order = np.argsort(dk, kind="stable", axis=1)
+    idx = idx[rows, order]
+    dk = dk[rows, order]
+    for qi in range(d.shape[0]):
+        mask = dk[qi] <= radius_m
+        nn = idx[qi][mask]
+        out.append(
+            pd.DataFrame(
+                {
+                    "point_id": np.full(len(nn), qid[qi], dtype=np.int64),
+                    "neighbor_id": tid[nn],
+                    "dist_m": dk[qi][mask],
+                    "rank": np.arange(1, len(nn) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
+def knn_join(
+    queries: rd.Dataset,
+    targets: rd.Dataset,
+    k: int = 5,
+    radius_m: float = 2000.0,
+    *,
+    level: Optional[int] = None,
+    query_id: str = "point_id",
+    target_id: str = "target_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> rd.Dataset:
+    """k nearest targets within ``radius_m`` per query point.
+
+    Output: (point_id, neighbor_id, dist_m, rank). Exact for targets within
+    radius_m when ``level`` is chosen so cell height ≥ radius_m (default).
+    """
+    lvl = level if level is not None else choose_level_for_radius(radius_m)
+    q = queries.map_batches(
+        partial(_query_rows, level=lvl, id_col=query_id, lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    )
+    t = targets.map_batches(
+        partial(_target_rows, level=lvl, id_col=target_id, lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    )
+    return q.union(t).groupby("cell").map_groups(
+        partial(_knn_refine, k=k, radius_m=radius_m), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster tile ↔ route vector join
+# ---------------------------------------------------------------------------
+
+
+def _route_cover_rows(batch: pa.Table, level: int, id_col: str) -> pa.Table:
+    """PT/area rows → (cell, route_id) cover pairs from geometry segments."""
+    ids = batch[id_col].to_pylist()
+    geoms = batch["geometry"].to_pylist()
+    cells_out: list[int] = []
+    ids_out: list[int] = []
+    for rid, geom in zip(ids, geoms):
+        seen: set = set()
+        for seg in geom:
+            if not seg:
+                continue
+            lons = np.array([p["lon"] for p in seg])
+            lats = np.array([p["lat"] for p in seg])
+            # per-edge bbox cover (tight for polylines, unlike whole-route bbox)
+            for i in range(len(lons) - 1):
+                lo0, lo1 = sorted((lons[i], lons[i + 1]))
+                la0, la1 = sorted((lats[i], lats[i + 1]))
+                for c in cover_bbox(lo0, la0, lo1, la1, level):
+                    seen.add(int(c))
+        cells_out.extend(seen)
+        ids_out.extend([rid] * len(seen))
+    return pa.table(
+        {
+            "cell": pa.array(np.asarray(cells_out, dtype=np.uint64), pa.uint64()),
+            "route_id": pa.array(ids_out, pa.int64()),
+        }
+    )
+
+
+def raster_vector_join(
+    tiles: rd.Dataset,
+    routes: rd.Dataset,
+    level: int,
+    *,
+    route_id: str = "id",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """tiles (cell:uint64, …) ⨝ route cover cells → (cell, route_id) rows."""
+    import ray
+
+    cover = routes.map_batches(
+        partial(_route_cover_rows, level=level, id_col=route_id), batch_format="pyarrow"
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    npart = num_partitions or max(2, min(64, cpus // 2))
+    return tiles.select_columns(["cell"]).join(
+        cover,
+        join_type="inner",
+        num_partitions=npart,
+        on=("cell",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )

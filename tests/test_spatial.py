@@ -1,0 +1,234 @@
+"""Spatial layer tests: cell index properties + PIP/kNN vs brute-force
+oracles (FIXTURES.md §5) + skew/salting equivalence."""
+
+import numpy as np
+import pytest
+
+from osmptparser_ray.kernel.geometry import haversine_m, haversine_m_vec
+from osmptparser_ray.spatial import (
+    cell_bounds,
+    cell_children,
+    cell_level,
+    cell_neighbors,
+    cell_parent,
+    cell_xy,
+    choose_level_for_radius,
+    convex_hull,
+    cover_bbox,
+    encode_cell,
+    points_in_ring,
+)
+
+rng = np.random.default_rng(42)
+
+
+class TestCellIndex:
+    def test_roundtrip_xy(self):
+        lats = rng.uniform(-90, 90, 10_000)
+        lons = rng.uniform(-180, 180, 10_000)
+        for level in (0, 5, 12, 29):
+            cells = encode_cell(lats, lons, level)
+            assert (cell_level(cells) == level).all()
+            x, y = cell_xy(cells)
+            n = 1 << level
+            assert (x >= 0).all() and (x < n).all()
+            assert (y >= 0).all() and (y < n).all()
+
+    def test_point_inside_own_cell_bounds(self):
+        lats = rng.uniform(-89.9, 89.9, 1000)
+        lons = rng.uniform(-179.9, 179.9, 1000)
+        cells = encode_cell(lats, lons, 12)
+        min_lon, min_lat, max_lon, max_lat = cell_bounds(cells)
+        assert (lons >= min_lon).all() and (lons <= max_lon).all()
+        assert (lats >= min_lat).all() and (lats <= max_lat).all()
+
+    def test_parent_contains_child(self):
+        lats = rng.uniform(-89, 89, 500)
+        lons = rng.uniform(-179, 179, 500)
+        fine = encode_cell(lats, lons, 15)
+        coarse = encode_cell(lats, lons, 10)
+        assert (cell_parent(fine, 5) == coarse).all()
+
+    def test_children_partition_parent(self):
+        c = encode_cell([10.0], [20.0], 8)[0]
+        kids = cell_children(c)
+        assert len(set(kids.tolist())) == 4
+        assert (cell_parent(kids) == c).all()
+
+    def test_neighbors_are_adjacent(self):
+        cells = encode_cell([0.5], [0.5], 10)
+        neigh = cell_neighbors(cells)[0]
+        assert len(set(neigh.tolist())) == 9
+        x0, y0 = cell_xy(cells)
+        for c in neigh:
+            x, y = cell_xy(np.array([c]))
+            assert abs(int(x[0]) - int(x0[0])) <= 1
+            assert abs(int(y[0]) - int(y0[0])) <= 1
+
+    def test_lon_wrap(self):
+        c = encode_cell([0.0], [-179.99], 8)
+        neigh = set(cell_neighbors(c)[0].tolist())
+        east = encode_cell([0.0], [179.99], 8)[0]
+        assert int(east) in neigh
+
+    def test_cover_bbox_contains_points(self):
+        cover = set(cover_bbox(-79.99, -2.3, -79.9, -2.1, 12).tolist())
+        pts_lat = rng.uniform(-2.3, -2.1, 200)
+        pts_lon = rng.uniform(-79.99, -79.9, 200)
+        cells = encode_cell(pts_lat, pts_lon, 12)
+        assert set(cells.tolist()) <= cover
+
+    def test_choose_level_for_radius(self):
+        lvl = choose_level_for_radius(2000.0)
+        cell_h_m = 180.0 / (1 << lvl) * 111_195.0
+        assert cell_h_m >= 2000.0
+        assert 180.0 / (1 << (lvl + 1)) * 111_195.0 < 2000.0
+
+
+class TestPipKernel:
+    SQUARE = (np.array([0.0, 0.0, 1.0, 1.0]), np.array([0.0, 1.0, 1.0, 0.0]))  # lats, lons
+
+    def test_square(self):
+        lats = np.array([0.5, 1.5, -0.1, 0.5])
+        lons = np.array([0.5, 0.5, 0.5, 1.5])
+        got = points_in_ring(lats, lons, *self.SQUARE)
+        assert got.tolist() == [True, False, False, False]
+
+    def test_closed_ring_equivalent(self):
+        ry = np.append(self.SQUARE[0], 0.0)
+        rx = np.append(self.SQUARE[1], 0.0)
+        lats = rng.uniform(-0.5, 1.5, 500)
+        lons = rng.uniform(-0.5, 1.5, 500)
+        a = points_in_ring(lats, lons, *self.SQUARE)
+        b = points_in_ring(lats, lons, ry, rx)
+        assert (a == b).all()
+
+    def test_concave_polygon(self):
+        # L-shape: unit square minus the top-LEFT quadrant (lat>0.5, lon<0.5)
+        ry = np.array([0.0, 0.0, 1.0, 1.0, 0.5, 0.5])
+        rx = np.array([0.0, 1.0, 1.0, 0.5, 0.5, 0.0])
+        assert points_in_ring([0.25], [0.25], ry, rx)[0]
+        assert points_in_ring([0.75], [0.75], ry, rx)[0]
+        assert points_in_ring([0.25], [0.75], ry, rx)[0]
+        assert not points_in_ring([0.75], [0.25], ry, rx)[0]
+
+    def test_convex_hull_square(self):
+        lats = np.array([0.0, 0.0, 1.0, 1.0, 0.5])
+        lons = np.array([0.0, 1.0, 0.0, 1.0, 0.5])
+        hy, hx = convex_hull(lats, lons)
+        assert len(hy) == 4  # center point excluded
+
+
+@pytest.fixture(scope="module")
+def stops_polys():
+    """FIXTURES.md §5: grid points + one dense mega-cell cluster; square
+    polygons incl. points on edges/vertices."""
+    lats = np.concatenate(
+        [
+            rng.uniform(-3.0, -1.0, 400),  # spread
+            rng.normal(-2.15, 0.001, 600),  # mega-cell cluster (Guayaquil-ish)
+        ]
+    )
+    lons = np.concatenate([rng.uniform(-80.5, -78.5, 400), rng.normal(-79.93, 0.001, 600)])
+    ids = np.arange(len(lats), dtype=np.int64)
+    polys = []
+    for i, (clat, clon, r) in enumerate(
+        [(-2.15, -79.93, 0.01), (-2.0, -79.5, 0.3), (-2.5, -80.0, 0.05), (-1.2, -78.8, 0.2)]
+    ):
+        polys.append(
+            {
+                "poly_id": i,
+                "ring_lats": [clat - r, clat - r, clat + r, clat + r],
+                "ring_lons": [clon - r, clon + r, clon + r, clon - r],
+            }
+        )
+    return ids, lats, lons, polys
+
+
+class TestPipJoin:
+    def _oracle(self, ids, lats, lons, polys):
+        pairs = set()
+        for p in polys:
+            hit = points_in_ring(lats, lons, p["ring_lats"], p["ring_lons"])
+            for pid in ids[hit]:
+                pairs.add((int(pid), p["poly_id"]))
+        return pairs
+
+    @pytest.mark.parametrize("salt", [1, 4])
+    def test_matches_oracle(self, ray_session, stops_polys, salt):
+        import ray.data as rd
+        from osmptparser_ray.spatial import pip_join
+
+        ids, lats, lons, polys = stops_polys
+        points = rd.from_arrow(
+            __import__("pyarrow").table(
+                {"point_id": ids, "lat": lats, "lon": lons}
+            )
+        )
+        polys_ds = rd.from_items(polys)
+        out = pip_join(points, polys_ds, level=10, salt=salt)
+        got = {(r["point_id"], r["poly_id"]) for r in out.take_all()}
+        assert got == self._oracle(ids, lats, lons, polys)
+
+
+class TestKnnJoin:
+    def _oracle(self, qids, qlat, qlon, tids, tlat, tlon, k, radius):
+        out = {}
+        for i, qi in enumerate(qids):
+            d = haversine_m_vec(qlat[i], qlon[i], tlat, tlon)
+            order = np.argsort(d, kind="stable")
+            near = [(int(tids[j]), float(d[j])) for j in order if d[j] <= radius][:k]
+            out[int(qi)] = near
+        return out
+
+    def test_matches_oracle(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial import knn_join
+
+        qlat = rng.uniform(-2.3, -2.0, 50)
+        qlon = rng.uniform(-80.1, -79.8, 50)
+        qids = np.arange(50, dtype=np.int64)
+        tlat = rng.uniform(-2.3, -2.0, 300)
+        tlon = rng.uniform(-80.1, -79.8, 300)
+        tids = np.arange(1000, 1300, dtype=np.int64)
+        q = rd.from_arrow(pa.table({"point_id": qids, "lat": qlat, "lon": qlon}))
+        t = rd.from_arrow(pa.table({"target_id": tids, "lat": tlat, "lon": tlon}))
+        out = knn_join(q, t, k=3, radius_m=2000.0)
+        got: dict = {}
+        for r in out.take_all():
+            got.setdefault(r["point_id"], []).append((r["rank"], r["neighbor_id"], r["dist_m"]))
+        oracle = self._oracle(qids, qlat, qlon, tids, tlat, tlon, 3, 2000.0)
+        for qi in qids:
+            mine = sorted(got.get(int(qi), []))
+            want = oracle[int(qi)]
+            assert [m[1] for m in mine] == [w[0] for w in want], f"query {qi}"
+            for m, w in zip(mine, want):
+                assert m[2] == pytest.approx(w[1])
+
+
+class TestRasterVectorJoin:
+    def test_route_tiles(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial import raster_vector_join
+        from osmptparser_ray.spatial.cell import cover_bbox
+
+        # one diagonal route across a few cells
+        seg = [{"lon": -79.95 + i * 0.01, "lat": -2.2 + i * 0.01} for i in range(6)]
+        routes = rd.from_items([{"id": 7, "geometry": [seg]}])
+        level = 12
+        tiles_cells = cover_bbox(-80.0, -2.3, -79.8, -2.1, level)
+        tiles = rd.from_arrow(pa.table({"cell": pa.array(tiles_cells, pa.uint64())}))
+        out = raster_vector_join(tiles, routes, level)
+        rows = out.take_all()
+        assert len(rows) > 0
+        assert all(r["route_id"] == 7 for r in rows)
+        # every cell containing a vertex must be present
+        from osmptparser_ray.spatial import encode_cell
+
+        vcells = set(
+            encode_cell([p["lat"] for p in seg], [p["lon"] for p in seg], level).tolist()
+        )
+        got = {r["cell"] for r in rows}
+        assert vcells <= got

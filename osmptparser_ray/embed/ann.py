@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (list<float>).
+
+* ``knn_bruteforce`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a numpy matmul against it and
+  emits per-batch partial top-k rows, which a tiny groupby-per-query
+  reduction merges — the scan streams, nothing materializes.
+* ``lsh_ann`` — random-hyperplane LSH bucketing (fixed seed): vectors are
+  hashed to signature buckets; queries probe their own bucket; exact
+  cosine refine within bucket. The scale path (candidate set shrinks by
+  ~2^bits); recall < 1 by design, measured against brute force in tests.
+* ``cosine_near_dup`` — embedding near-duplicate pairs above a cosine
+  threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..util import default_actor_concurrency
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-ish copy)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    vectors: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact cosine top-k of every query against the vector dataset.
+
+    Output: (query_id:int64, rank:int64, vec_id:int64, score:float64).
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((q, qids))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q, self.qids = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if m.size == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            scores = self.q @ m.T  # (Q, B)
+            kk = min(k, scores.shape[1])
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(scores.shape[0])[:, None]
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(self.qids, kk), pa.int64()),
+                    "vec_id": pa.array(ids[idx].ravel(), pa.int64()),
+                    "score": pa.array(scores[rows, idx].ravel(), pa.float64()),
+                }
+            )
+
+    partials = vectors.map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=default_actor_concurrency()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((bits, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0  # (n, bits)
+    out = np.zeros(len(m), dtype=np.uint64)
+    for i in range(planes.shape[0]):
+        out |= bits[:, i].astype(np.uint64) << np.uint64(i)
+    return out
+
+
+def lsh_ann(
+    vectors: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    bits: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Approximate cosine top-k: random-hyperplane buckets + in-bucket refine.
+
+    Output schema matches ``knn_bruteforce``; recall is approximate (only
+    same-bucket candidates are scored).
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    planes = _hyperplanes(q.shape[1], bits)
+    q_ref = ray.put((q, qids, planes))
+
+    class BucketRefine:
+        """Per-batch: bucket vectors, score only same-bucket queries."""
+
+        def __init__(self):
+            self.q, self.qids, self.planes = ray.get(q_ref)
+            self.qbuckets = _bucket_of(self.q, self.planes)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            if m.size:
+                vbuckets = _bucket_of(m, self.planes)
+                for qi in range(len(self.q)):
+                    mask = vbuckets == self.qbuckets[qi]
+                    if not mask.any():
+                        continue
+                    scores = m[mask] @ self.q[qi]
+                    cand_ids = ids[mask]
+                    kk = min(k, len(scores))
+                    top = np.argpartition(-scores, kk - 1)[:kk]
+                    out_q.extend([self.qids[qi]] * kk)
+                    out_v.extend(cand_ids[top].tolist())
+                    out_s.extend(scores[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = vectors.map_batches(
+        BucketRefine, batch_format="pyarrow", concurrency=default_actor_concurrency()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def cosine_near_dup(
+    vectors: rd.Dataset,
+    threshold: float = 0.95,
+    bits: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH buckets.
+
+    Output: (doc_a, doc_b, score) with doc_a < doc_b. Same-bucket pairs
+    only (approximate recall, exact precision).
+    """
+
+    def bucketize(batch: pa.Table, planes_dim: Optional[int] = None) -> pa.Table:
+        m = _normalize(_to_matrix(batch[vec_col]))
+        planes = _hyperplanes(m.shape[1] if m.size else 2, bits)
+        buckets = _bucket_of(m, planes) if m.size else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.uint64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        sim = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia][keep],
+                "doc_b": ids[ib][keep],
+                "score": sim[ia, ib][keep],
+            }
+        )
+
+    return (
+        vectors.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(refine, batch_format="pandas")
+    )
+

@@ -254,7 +254,9 @@ def _knn_refine(g: pd.DataFrame, k: int, radius_m: float) -> pd.DataFrame:
     idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
     rows = np.arange(d.shape[0])[:, None]
     dk = d[rows, idx]
-    order = np.argsort(dk, kind="stable", axis=1)
+    # order by (distance, neighbor id) — deterministic under exact ties
+    tid_k = tid[idx]
+    order = np.lexsort((tid_k, dk), axis=1) if dk.size else np.zeros_like(idx)
     idx = idx[rows, order]
     dk = dk[rows, order]
     for qi in range(d.shape[0]):

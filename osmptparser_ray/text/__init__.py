@@ -1,0 +1,29 @@
+from .analysis import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality_scores,
+    add_token_count,
+)
+from .dedup import (
+    duplicate_groups,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+    verify_jaccard,
+)
+
+__all__ = [
+    "add_fingerprint",
+    "add_lang_id",
+    "add_quality_scores",
+    "add_token_count",
+    "duplicate_groups",
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "verify_jaccard",
+]

@@ -1,0 +1,113 @@
+"""Text analysis operators over document tables — vectorized Arrow kernels.
+
+Large-scale training-data pipeline components (a core engine surface, not
+OSM-derived): token counting, quality scoring, language-ID, document
+fingerprinting. Every kernel is a ``pyarrow.compute`` regex/string op
+(RE2), chosen so a DuckDB oracle can express the SAME computation exactly
+(see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.!?]"
+
+# tiny built-in stopword inventories (public common words)
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por")
+
+
+def _word_alt_re(words) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def add_token_count(ds: rd.Dataset, col: str = "text", out: str = "n_tokens") -> rd.Dataset:
+    """Whitespace/punct-agnostic token count: non-overlapping TOKEN_RE matches."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out, pc.cast(pc.count_substring_regex(batch[col], TOKEN_RE), pa.int64())
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_quality_scores(ds: rd.Dataset, col: str = "text") -> rd.Dataset:
+    """Length / punctuation / stopword-density quality features.
+
+    Columns: q_chars, q_tokens, q_punct, q_stop_en, q_stop_es,
+    q_mean_token_len (float; identical IEEE division both engine & oracle).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch[col]
+        chars = pc.cast(pc.utf8_length(text), pa.int64())
+        tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+        stop_en = pc.cast(
+            pc.count_substring_regex(text, _word_alt_re(EN_STOPWORDS)), pa.int64()
+        )
+        stop_es = pc.cast(
+            pc.count_substring_regex(text, _word_alt_re(ES_STOPWORDS)), pa.int64()
+        )
+        # alpha chars = chars minus non-alpha (single regex count)
+        alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+        mean_tok = pc.divide(
+            pc.cast(alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(tokens, 1), pa.float64()),
+        )
+        for name, col_arr in (
+            ("q_chars", chars),
+            ("q_tokens", tokens),
+            ("q_punct", punct),
+            ("q_stop_en", stop_en),
+            ("q_stop_es", stop_es),
+            ("q_mean_token_len", mean_tok),
+        ):
+            batch = batch.append_column(name, col_arr)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_lang_id(ds: rd.Dataset, col: str = "text", out: str = "lang_pred") -> rd.Dataset:
+    """Stopword-inventory language ID: 'en' / 'es' / 'und' (tie or zero).
+
+    Deterministic and SQL-expressible (two regex counts + CASE).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch[col]
+        en = pc.count_substring_regex(text, _word_alt_re(EN_STOPWORDS))
+        es = pc.count_substring_regex(text, _word_alt_re(ES_STOPWORDS))
+        pred = pc.if_else(
+            pc.greater(en, es),
+            pa.scalar("en"),
+            pc.if_else(pc.greater(es, en), pa.scalar("es"), pa.scalar("und")),
+        )
+        return batch.append_column(out, pred)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_fingerprint(ds: rd.Dataset, col: str = "text", out: str = "fingerprint") -> rd.Dataset:
+    """Normalized md5 fingerprint: md5(lower(whitespace-collapsed text)).
+
+    Whitespace runs → single space, leading/trailing trimmed — byte-equal
+    to the DuckDB expression
+    ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))``.
+    """
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " ")
+        )
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+        return batch.append_column(out, pa.array(digests, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

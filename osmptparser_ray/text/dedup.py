@@ -1,0 +1,383 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale patterns (guide: shingle→minhash→band→bucket groupby):
+* exact_dedup      — content hash per batch (vectorized md5) → hash-
+                     partitioned groupby keeping the MIN doc id
+                     (deterministic representative, unlike head(1)).
+* minhash_signatures / lsh_candidate_pairs / verify_jaccard — near-dup
+  detection; candidate generation is a groupby on (band, band_hash)
+  shuffle; verification recomputes exact shingle Jaccard per pair.
+* simhash_signatures / simhash_near_pairs — 64-bit simhash; near pairs
+  via chunk-banding (pigeonhole: hamming ≤ d ⇒ some of d+1 chunks equal).
+* duplicate_groups — connected components over verified pairs by
+  iterative min-label propagation (bounded rounds of joins; no
+  driver-side union-find on big data).
+
+Determinism: all hash families are fixed-seed universal hashes; no RNG at
+run time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_MERSENNE = (1 << 61) - 1
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Character k-shingle 64-bit hashes (vector of uint64, deduplicated)."""
+    t = text.lower()
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    hashes = {
+        int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "little")
+        for i in range(len(t) - k + 1)
+    }
+    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+
+
+def exact_dedup(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """→ (content md5, representative doc id = min, n_dups). Exact dedup."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {"content_md5": pa.array(digests, pa.string()), id_col: batch[id_col]}
+        )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [g["content_md5"].iloc[0]],
+                id_col: [int(g[id_col].min())],
+                "n_dups": [len(g)],
+            }
+        )
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby(
+        "content_md5"
+    ).map_groups(reduce_group, batch_format="pandas")
+
+
+def minhash_signatures(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """→ (doc_id, sig: fixed-size-list<uint64>). Stateful actor stage
+    (permutation table built once per actor)."""
+
+    class Signer:
+        def __init__(self):
+            self.a, self.b = _perm_params(num_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = []
+            for text in batch[text_col].to_pylist():
+                sh = _shingles(text, shingle_k)
+                # (P, S) universal hash then min over shingles
+                v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(v.min(axis=1))
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "sig": pa.array(
+                        [s.tolist() for s in sigs], pa.list_(pa.uint64(), num_perm)
+                    ),
+                }
+            )
+
+    from ..util import default_actor_concurrency
+
+    return ds.map_batches(
+        Signer,
+        batch_format="pyarrow",
+        concurrency=default_actor_concurrency(),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: rd.Dataset, id_col: str = "doc_id", bands: int = 16
+) -> rd.Dataset:
+    """Signatures → candidate (doc_a < doc_b) pairs via band-bucket groupby."""
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = np.stack(
+            [np.asarray(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
+        ) if batch.num_rows else np.empty((0, 0), np.uint64)
+        num_perm = sig.shape[1] if sig.size else bands
+        r = max(1, num_perm // bands)
+        out_band, out_hash, out_id = [], [], []
+        for bi in range(bands):
+            chunk = sig[:, bi * r : (bi + 1) * r]
+            if chunk.size == 0:
+                continue
+            h = np.zeros(len(ids), dtype=np.uint64)
+            for j in range(chunk.shape[1]):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
+            out_band.extend([bi] * len(ids))
+            out_hash.extend(h.tolist())
+            out_id.extend(ids.tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(np.asarray(out_hash, dtype=np.uint64), pa.uint64()),
+                id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup pairs found in multiple bands
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(pair_dedup, batch_format="pandas")
+
+
+def verify_jaccard(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Texts are broadcast (ray.put of id→text); at 10^12 scale replace with a
+    pair→text join — candidate pairs are << corpus size by construction.
+    """
+    import ray
+
+    texts: dict[int, str] = {}
+    for b in docs.select_columns([id_col, text_col]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            texts[i] = t
+    texts_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch["doc_a"].to_pylist()
+            b_ids = batch["doc_b"].to_pylist()
+            jac = []
+            for a, b2 in zip(a_ids, b_ids):
+                sa = set(_shingles(self.texts[a], shingle_k).tolist())
+                sb = set(_shingles(self.texts[b2], shingle_k).tolist())
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                jac.append(inter / union if union else 0.0)
+            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+            return out.filter(pa.array(np.asarray(jac) >= threshold))
+
+    from ..util import default_actor_concurrency
+
+    return pairs.map_batches(
+        Verify, batch_format="pyarrow", concurrency=default_actor_concurrency()
+    )
+
+
+def simhash_signatures(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """→ (doc_id, simhash:uint64) from token blake2b hashes (64-bit)."""
+    import re
+
+    token_re = re.compile(r"[A-Za-z0-9_]+")
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch[text_col].to_pylist():
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in token_re.findall(text.lower()):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sh = np.uint64(0)
+            for i in range(64):
+                if acc[i] > 0:
+                    sh |= np.uint64(1) << np.uint64(i)
+            out.append(sh)
+        return pa.table(
+            {id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_near_pairs(
+    sigs: rd.Dataset, id_col: str = "doc_id", max_hamming: int = 3
+) -> rd.Dataset:
+    """Pairs with hamming(simhash) ≤ max_hamming via chunk banding.
+
+    Pigeonhole: split 64 bits into (max_hamming+1) chunks — any pair within
+    distance d shares at least one identical chunk.
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_c, out_h, out_id, out_sig = [], [], [], []
+        for c in range(nchunks):
+            chunk = (sh >> np.uint64(c * width)) & np.uint64((1 << width) - 1)
+            out_c.extend([c] * len(ids))
+            out_h.extend(chunk.tolist())
+            out_id.extend(ids.tolist())
+            out_sig.extend(sh.tolist())
+        return pa.table(
+            {
+                "chunk": pa.array(out_c, pa.int32()),
+                "chunk_val": pa.array(np.asarray(out_h, np.uint64), pa.uint64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "simhash": pa.array(np.asarray(out_sig, np.uint64), pa.uint64()),
+            }
+        )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        uniq = np.unique(ids, return_index=True)[1]
+        ids, sh = ids[uniq], sh[uniq]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(pair_dedup, batch_format="pandas")
+
+
+def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
+    """Connected components over (doc_a, doc_b) pairs → (doc_id, rep_id).
+
+    Distributed min-label propagation: each round every node adopts the min
+    label over {self} ∪ neighbors' labels, implemented as a hash join
+    (edges ⨝ labels on peer) + groupby-min — no driver-side graph state.
+    Rounds are O(component diameter), bounded by ``max_rounds``;
+    convergence is detected by the (monotonically decreasing) global label
+    sum. Duplicate clusters are shallow in practice, so this terminates in
+    a few rounds.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    npart = max(2, min(64, cpus // 2))
+    agg_args = {"num_cpus": 0.25}
+
+    def edges_both(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "peer": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(edges_both, batch_format="pyarrow").materialize()
+
+    def _minimize(ds: rd.Dataset) -> rd.Dataset:
+        out = ds.groupby("node").aggregate(Min("label", alias_name="label"))
+        return out
+
+    # round 0: label(node) = min(self, neighbors)
+    self_rows = edges.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    )
+    neigh_rows = edges.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
+        batch_format="pyarrow",
+    )
+    labels = _minimize(self_rows.union(neigh_rows)).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        peer_labels = labels.map_batches(
+            lambda t: pa.table({"lnode": t["node"], "plabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        propagated = edges.join(
+            peer_labels,
+            join_type="inner",
+            num_partitions=npart,
+            on=("peer",),
+            right_on=("lnode",),
+            aggregator_ray_remote_args=agg_args,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["plabel"]}),
+            batch_format="pyarrow",
+        )
+        labels = _minimize(labels.union(propagated)).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["node"], "rep_id": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+

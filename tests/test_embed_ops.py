@@ -1,0 +1,116 @@
+"""Embedding ANN operators vs brute-force numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vectors(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds, m, ids
+
+
+def _norm(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+class TestBruteforceKnn:
+    def test_matches_numpy(self, vectors):
+        from osmptparser_ray.embed.ann import knn_bruteforce
+
+        ds, m, ids = vectors
+        q = m[:4]
+        qids = ids[:4]
+        out = knn_bruteforce(ds, q, qids, k=5).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+        mn = _norm(m)
+        qn = _norm(q)
+        sims = qn @ mn.T
+        for qi, qid in enumerate(qids):
+            order = np.lexsort((ids, -sims[qi]))[:5]
+            mine = sorted(got[qid])
+            assert [x[1] for x in mine] == ids[order].tolist()
+            for x, oi in zip(mine, order):
+                assert x[2] == pytest.approx(sims[qi][oi])
+
+    def test_self_is_rank_one(self, vectors):
+        from osmptparser_ray.embed.ann import knn_bruteforce
+
+        ds, m, ids = vectors
+        out = knn_bruteforce(ds, m[:2], ids[:2], k=1).take_all()
+        for r in out:
+            assert r["vec_id"] == r["query_id"] and r["score"] == pytest.approx(1.0)
+
+
+class TestLshAnn:
+    def test_subset_of_bucket_candidates(self, vectors):
+        """LSH results are exact within the query's bucket (precision check)."""
+        from osmptparser_ray.embed.ann import _bucket_of, _hyperplanes, lsh_ann
+
+        ds, m, ids = vectors
+        q = m[:3]
+        qids = ids[:3]
+        out = lsh_ann(ds, q, qids, k=5, bits=6).take_all()
+        planes = _hyperplanes(m.shape[1], 6)
+        mn = _norm(m)
+        qb = _bucket_of(_norm(q), planes)
+        vb = _bucket_of(mn, planes)
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qi, qid in enumerate(qids):
+            cand = ids[vb == qb[qi]]
+            rows = by_q.get(qid, [])
+            assert all(r["vec_id"] in set(cand.tolist()) for r in rows)
+            # exact top within bucket
+            sims = mn[vb == qb[qi]] @ _norm(q)[qi]
+            want = cand[np.lexsort((cand, -sims))][: len(rows)]
+            got_ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert got_ids == want.tolist()
+
+
+class TestCosineNearDup:
+    def test_precision_and_bucket_recall(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.embed.ann import _bucket_of, _hyperplanes, cosine_near_dup
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((20, 16))
+        dups = base[:5] + rng.standard_normal((5, 16)) * 0.01  # near-dups of 0..4
+        m = np.vstack([base, dups])
+        ids = np.arange(len(m), dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+                }
+            )
+        )
+        out = cosine_near_dup(ds, threshold=0.95, bits=4).take_all()
+        got = {(r["doc_a"], r["doc_b"]) for r in out}
+        # float32 storage: recompute oracle in the same precision path
+        m32 = np.stack([np.asarray(v, np.float32).astype(np.float64) for v in m])
+        mn = _norm(m32)
+        planes = _hyperplanes(16, 4)
+        b = _bucket_of(mn, planes)
+        sims = mn @ mn.T
+        for i in range(len(m)):
+            for j in range(i + 1, len(m)):
+                same_bucket = b[i] == b[j]
+                if same_bucket and sims[i, j] >= 0.95:
+                    assert (i, j) in got
+        for i, j in got:
+            assert sims[i, j] >= 0.95

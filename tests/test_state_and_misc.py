@@ -1,0 +1,119 @@
+"""Checkpoint/resume, multimodal plumbing, and driver-contract smoke."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+class TestCheckpoint:
+    def test_write_resume_skip(self, ray_session, tmp_path, sf_dir):
+        import ray.data as rd
+
+        from osmptparser_ray.state.checkpoint import (
+            completed_partitions,
+            run_partitioned,
+        )
+
+        out = str(tmp_path / "out")
+        calls = []
+
+        def make(p):
+            calls.append(p)
+            return rd.read_parquet(f"{sf_dir}/region.parquet")
+
+        recs = run_partitioned(["a", "b"], make, out)
+        assert len(recs) == 2 and calls == ["a", "b"]
+        assert set(completed_partitions(out)) == {"a", "b"}
+        assert all(r.rows == 5 for r in recs)
+        assert os.path.isdir(os.path.join(out, "part=a"))
+
+        # resume: make() must NOT be called again
+        calls.clear()
+        recs2 = run_partitioned(["a", "b"], make, out)
+        assert calls == [] and len(recs2) == 2
+
+        # new partition: only it is computed
+        run_partitioned(["a", "b", "c"], make, out)
+        assert calls == ["c"]
+
+    def test_crashed_tmp_is_replaced(self, ray_session, tmp_path, sf_dir):
+        import ray.data as rd
+
+        from osmptparser_ray.state.checkpoint import completed_partitions, write_partition
+
+        out = str(tmp_path / "out2")
+        os.makedirs(os.path.join(out, "part=x"))  # stale dir, no manifest line
+        ds = rd.read_parquet(f"{sf_dir}/region.parquet")
+        rec = write_partition(ds, out, "x")
+        assert rec.rows == 5
+        assert "x" in completed_partitions(out)
+        files = os.listdir(os.path.join(out, "part=x"))
+        assert any(f.endswith(".parquet") for f in files)
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.multimodal import image_features, synthesize_media_table
+
+        media = rd.from_arrow(synthesize_media_table(32))
+        rows = image_features(media, out_size=8, fake=True).take_all()
+        assert len(rows) == 16  # half the media rows are images
+        for r in rows:
+            assert 0.0 <= r["feat_mean_r"] <= 255.0
+            assert r["out_w"] == 8
+
+    def test_audio_frames_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.multimodal import audio_frames, synthesize_media_table
+
+        media = rd.from_arrow(synthesize_media_table(32))
+        rows = audio_frames(media, fake=True).take_all()
+        assert len(rows) == 16 * 8  # 16 audio rows × 8 frames
+        assert all(r["rms"] > 0 for r in rows)
+
+    def test_real_codec_raises(self):
+        from osmptparser_ray.multimodal import _decode_image
+
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"x", 4, 4, fake=False)
+
+    def test_fake_decode_deterministic(self):
+        from osmptparser_ray.multimodal import _decode_image
+
+        a = _decode_image(b"payload", 8, 8, fake=True)
+        b = _decode_image(b"payload", 8, 8, fake=True)
+        assert (a == b).all()
+
+
+class TestDriverContract:
+    def test_entry_smoke(self, ray_session):
+        import __ray_entry__ as m
+
+        df = m.entry()
+        assert len(df) >= 1
+        assert list(df.columns) == ["component", "rows"]
+        assert (df["rows"] >= 0).all()
+        by = dict(zip(df["component"], df["rows"]))
+        assert by["public_transports"] == 4  # 2 replicas × 2 relations
+
+    def test_queries_have_oracles_or_doc(self, ray_session):
+        import __ray_entry__ as m
+
+        qs = m.queries()
+        oracles = m.oracle_sql()
+        assert set(oracles) <= set(qs)
+        assert len(qs) >= 20
+
+    @pytest.mark.parametrize("name", ["ptv2_fixture", "cell_assign", "token_count"])
+    def test_sample_queries_run(self, ray_session, sf_dir, name):
+        import __ray_entry__ as m
+
+        res = m.queries()[name](sf_dir)
+        import ray.data as rd
+
+        n = res.count() if isinstance(res, rd.Dataset) else len(res)
+        assert n > 0

@@ -1,0 +1,182 @@
+"""Text analysis / dedup operators: oracles via duckdb + brute force."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+class TestAnalysis:
+    def test_token_count_matches_duckdb(self, docs_ds, sf_dir):
+        from osmptparser_ray.text.analysis import add_token_count
+
+        mine = add_token_count(docs_ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+        oracle = duckdb.sql(
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).df()
+        m = mine.sort_values("doc_id").reset_index(drop=True)
+        o = oracle.sort_values("doc_id").reset_index(drop=True)
+        assert (m["n_tokens"] == o["n_tokens"]).all()
+
+    def test_langid_values(self, docs_ds):
+        from osmptparser_ray.text.analysis import add_lang_id
+
+        out = add_lang_id(docs_ds).take_all()
+        assert {r["lang_pred"] for r in out} <= {"en", "es", "und"}
+
+    def test_fingerprint_normalization(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import add_fingerprint
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 1, "text": "Hello   World"},
+                {"doc_id": 2, "text": "  hello world "},
+                {"doc_id": 3, "text": "hello\tworld"},
+                {"doc_id": 4, "text": "different"},
+            ]
+        )
+        rows = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(ds).take_all()}
+        expect = hashlib.md5(b"hello world").hexdigest()
+        assert rows[1] == rows[2] == rows[3] == expect
+        assert rows[4] != rows[1]
+
+
+class TestExactDedup:
+    def test_dup_classes(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import exact_dedup
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 10, "text": "aaa"},
+                {"doc_id": 3, "text": "aaa"},
+                {"doc_id": 7, "text": "bbb"},
+                {"doc_id": 1, "text": "aaa"},
+            ]
+        )
+        rows = {r["content_md5"]: r for r in exact_dedup(ds).take_all()}
+        import hashlib
+
+        a = hashlib.md5(b"aaa").hexdigest()
+        b = hashlib.md5(b"bbb").hexdigest()
+        assert rows[a]["doc_id"] == 1 and rows[a]["n_dups"] == 3
+        assert rows[b]["doc_id"] == 7 and rows[b]["n_dups"] == 1
+
+
+class TestMinhashLsh:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(0)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+        docs = []
+        for i in range(30):
+            docs.append(
+                {"doc_id": i, "text": " ".join(rng.choice(words, size=40).tolist())}
+            )
+        # two near-dup pairs: tiny edits
+        docs.append({"doc_id": 100, "text": docs[0]["text"] + " extra"})
+        docs.append({"doc_id": 101, "text": docs[5]["text"].replace("alpha", "alpha", 1)})
+        docs.append({"doc_id": 102, "text": docs[5]["text"]})
+        return docs
+
+    def _brute_jaccard(self, docs, k=5):
+        from osmptparser_ray.text.dedup import _shingles
+
+        sh = {d["doc_id"]: set(_shingles(d["text"], k).tolist()) for d in docs}
+        pairs = {}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                pairs[(a, b)] = inter / union if union else 0.0
+        return pairs
+
+    def test_lsh_finds_near_dups(self, ray_session, corpus):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            verify_jaccard,
+        )
+
+        ds = rd.from_items(corpus)
+        sigs = minhash_signatures(ds, num_perm=64, shingle_k=5)
+        pairs = lsh_candidate_pairs(sigs, bands=16)
+        verified = verify_jaccard(pairs, ds, threshold=0.8)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.take_all()}
+        brute = self._brute_jaccard(corpus)
+        # every high-jaccard pair must be found (these are ≥0.9 — LSH at
+        # 16 bands × 4 rows catches them w.h.p. with fixed seeds)
+        for (a, b), j in brute.items():
+            if j >= 0.9:
+                assert (a, b) in got, f"missed near-dup pair {(a, b)} j={j}"
+        # and everything reported really is above threshold (exact verify)
+        for (a, b), j in got.items():
+            assert j == pytest.approx(brute[(a, b)])
+            assert j >= 0.8
+
+
+class TestSimhash:
+    def test_near_pairs_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import simhash_near_pairs, simhash_signatures
+
+        rng = np.random.default_rng(1)
+        words = ["red", "green", "blue", "cyan", "teal", "pink"]
+        docs = [
+            {"doc_id": i, "text": " ".join(rng.choice(words, size=30).tolist())}
+            for i in range(20)
+        ]
+        docs.append({"doc_id": 50, "text": docs[0]["text"]})  # identical → hamming 0
+        ds = rd.from_items(docs)
+        sigs = simhash_signatures(ds).materialize()
+        sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
+        pairs = simhash_near_pairs(sigs, max_hamming=3).take_all()
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+        # brute force oracle
+        ids = sorted(sig_map)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ham = bin(int(sig_map[a]) ^ int(sig_map[b])).count("1")
+                if ham <= 3:
+                    assert (a, b) in got and got[(a, b)] == ham
+                else:
+                    assert (a, b) not in got
+        assert got[(0, 50)] == 0
+
+
+class TestDuplicateGroups:
+    def test_chain_components(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import duplicate_groups
+
+        # edges: 1-2, 2-3 (chain), 10-11, 20-21, 21-22-23 via (21,22),(22,23)
+        pairs = rd.from_items(
+            [
+                {"doc_a": 1, "doc_b": 2},
+                {"doc_a": 2, "doc_b": 3},
+                {"doc_a": 10, "doc_b": 11},
+                {"doc_a": 20, "doc_b": 21},
+                {"doc_a": 21, "doc_b": 22},
+                {"doc_a": 22, "doc_b": 23},
+            ]
+        )
+        got = {r["doc_id"]: r["rep_id"] for r in duplicate_groups(pairs).take_all()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}

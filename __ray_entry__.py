@@ -344,22 +344,22 @@ def _q_window_tumbling(sf_dir: str):
 
 
 def _q_union_distinct(sf_dir: str):
-    """Union + distinct: nation keys present in customer ∪ supplier."""
-    import pandas as pd
+    """Union + distinct: nation keys present in customer ∪ supplier.
+
+    Distinct = per-batch local dedup (combiner) then a groupby-aggregate,
+    projecting the key back out — no per-group UDF."""
+    from ray.data.aggregate import Count
 
     c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        lambda t: pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+        lambda t: pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64()).unique()}),
         batch_format="pyarrow",
     )
     s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
-        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
+        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int64()).unique()}),
         batch_format="pyarrow",
     )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return c.union(s).groupby("nationkey").map_groups(first, batch_format="pandas")
+    out = c.union(s).groupby("nationkey").aggregate(Count(alias_name="n"))
+    return out.select_columns(["nationkey"])
 
 
 # --------------------------------------------------------------------------

@@ -59,13 +59,14 @@ def explode_stops(pt: rd.Dataset) -> rd.Dataset:
 
 
 def unique_stops(stops: rd.Dataset) -> rd.Dataset:
-    """Distinct stop points (first row per stop_id)."""
-    import pandas as pd
+    """Distinct stop points — groupby-aggregate (all duplicates of a stop id
+    carry identical coords, so Min(lat)/Min(lon) is exact); avoids a pandas
+    UDF call per stop."""
+    from ray.data.aggregate import Min
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["stop_id", "lat", "lon"]]
-
-    return stops.groupby("stop_id").map_groups(first, batch_format="pandas")
+    return stops.groupby("stop_id").aggregate(
+        Min("lat", alias_name="lat"), Min("lon", alias_name="lon")
+    )
 
 
 def route_hulls(pt: rd.Dataset) -> rd.Dataset:

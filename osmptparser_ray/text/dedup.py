@@ -38,22 +38,37 @@ def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime; wraparound mod 2^64
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
-    """Character k-shingle 64-bit hashes (vector of uint64, deduplicated)."""
-    t = text.lower()
+    """Character k-shingle 64-bit hashes (unique uint64s) — fully vectorized.
+
+    Polynomial hash over the utf-8 bytes of each k-byte window, computed
+    with a sliding-window matmul in uint64 wraparound arithmetic (no
+    per-window Python loop / hashlib call)."""
+    t = text.lower().encode("utf-8")
     if len(t) < k:
-        t = t + " " * (k - len(t))
-    hashes = {
-        int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "little")
-        for i in range(len(t) - k + 1)
-    }
-    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+        t = t + b" " * (k - len(t))
+    arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = powers[i - 1] * _SHINGLE_BASE
+    # scramble with an avalanche multiply so nearby windows decorrelate
+    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)
 
 
 def exact_dedup(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> rd.Dataset:
     """→ (content md5, representative doc id = min, n_dups). Exact dedup."""
+
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
         digests = [
@@ -63,18 +78,13 @@ def exact_dedup(
             {"content_md5": pa.array(digests, pa.string()), id_col: batch[id_col]}
         )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_md5": [g["content_md5"].iloc[0]],
-                id_col: [int(g[id_col].min())],
-                "n_dups": [len(g)],
-            }
-        )
-
-    return ds.map_batches(add_hash, batch_format="pyarrow").groupby(
-        "content_md5"
-    ).map_groups(reduce_group, batch_format="pandas")
+    # groupby-AGGREGATE (vectorized per shuffle partition), not
+    # map_groups(head) — one UDF call per unique text would dominate at scale
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+    )
 
 
 def minhash_signatures(
@@ -147,24 +157,40 @@ def lsh_candidate_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    # Pair generation = bucket SELF-JOIN on (band, band_hash): a hash-shuffle
+    # join vectorizes per partition, unlike map_groups which pays a pandas
+    # UDF call per tiny bucket (thousands of buckets ⇒ seconds of overhead).
+    # A pair found by several bands appears once per band — downstream
+    # verification dedups via groupby-aggregate (also vectorized).
+    import ray
 
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    rows = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    left = rows.map_batches(
+        lambda t: pa.table(
+            {"band": t["band"], "band_hash": t["band_hash"], "doc_a": t[id_col]}
+        ),
+        batch_format="pyarrow",
     )
-    # dedup pairs found in multiple bands
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(pair_dedup, batch_format="pandas")
+    right = rows.map_batches(
+        lambda t: pa.table(
+            {"band": t["band"], "band_hash": t["band_hash"], "doc_b": t[id_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=max(2, min(64, cpus // 2)),
+        on=("band", "band_hash"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_a"], t["doc_b"])).select(
+            ["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def verify_jaccard(
@@ -193,25 +219,39 @@ def verify_jaccard(
     class Verify:
         def __init__(self):
             self.texts = ray.get(texts_ref)
+            self._cache: dict[int, np.ndarray] = {}
+
+        def _sh(self, doc_id: int) -> np.ndarray:
+            s = self._cache.get(doc_id)
+            if s is None:
+                s = _shingles(self.texts[doc_id], shingle_k)
+                self._cache[doc_id] = s
+            return s
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             a_ids = batch["doc_a"].to_pylist()
             b_ids = batch["doc_b"].to_pylist()
             jac = []
             for a, b2 in zip(a_ids, b_ids):
-                sa = set(_shingles(self.texts[a], shingle_k).tolist())
-                sb = set(_shingles(self.texts[b2], shingle_k).tolist())
-                inter = len(sa & sb)
-                union = len(sa | sb)
+                sa = self._sh(a)
+                sb = self._sh(b2)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
                 jac.append(inter / union if union else 0.0)
             out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
             return out.filter(pa.array(np.asarray(jac) >= threshold))
 
+    from ray.data.aggregate import Max
+
     from ..util import default_actor_concurrency
 
-    return pairs.map_batches(
+    verified = pairs.map_batches(
         Verify, batch_format="pyarrow", concurrency=default_actor_concurrency()
     )
+    # dedup pairs surfaced by several LSH bands (vectorized aggregate, not a
+    # per-group UDF); jaccard is identical across duplicates so Max is a
+    # no-op numerically
+    return verified.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
 
 
 def simhash_signatures(
@@ -274,38 +314,64 @@ def simhash_near_pairs(
             }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        uniq = np.unique(ids, return_index=True)[1]
-        ids, sh = ids[uniq], sh[uniq]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
+    # bucket self-join (vectorized hash shuffle; see lsh_candidate_pairs for
+    # why map_groups-per-tiny-bucket is avoided), then per-batch vectorized
+    # hamming + a groupby-aggregate pair dedup
+    import ray
+    from ray.data.aggregate import Min
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow")
+    left = rows.map_batches(
+        lambda t: pa.table(
+            {
+                "chunk": t["chunk"],
+                "chunk_val": t["chunk_val"],
+                "doc_a": t[id_col],
+                "sh_a": t["simhash"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    right = rows.map_batches(
+        lambda t: pa.table(
+            {
+                "chunk": t["chunk"],
+                "chunk_val": t["chunk_val"],
+                "doc_b": t[id_col],
+                "sh_b": t["simhash"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=max(2, min(64, cpus // 2)),
+        on=("chunk", "chunk_val"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.less(t["doc_a"], t["doc_b"]))
+        a = t["sh_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["sh_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = a ^ b
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].combine_chunks().filter(pa.array(keep)),
+                "doc_b": t["doc_b"].combine_chunks().filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
         )
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(bucket, batch_format="pandas")
-    )
-
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(pair_dedup, batch_format="pandas")
+    pairs = joined.map_batches(hamming_filter, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:

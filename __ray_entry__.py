@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 # deterministic synthetic inputs shared by engine and oracle
 # --------------------------------------------------------------------------
 
-_PAGES_CACHE = "/tmp/osmray_pages_r{replicas}_seed42.parquet"
+_PAGES_CACHE = "/tmp/osmray_pages_r{replicas}_seed42_sharded"
 
 # point synthesis from customer keys — IDENTICAL arithmetic in SQL oracle
 _LAT_EXPR = "(-3.0 + ((c_custkey * 2654435761) % 100000) / 100000.0 * 2.0)"
@@ -62,7 +62,7 @@ def _fixture_pages(replicas: int = 1) -> str:
     if not os.path.exists(path):
         from osmptparser_ray.sources import synthesize_pages_parquet
 
-        synthesize_pages_parquet(path, replicas=replicas)
+        synthesize_pages_parquet(path, replicas=replicas, files=16)
     return path
 
 

@@ -21,11 +21,11 @@ import time
 
 
 def _pages_path(replicas: int) -> str:
-    path = f"/tmp/osmray_bench_pages_r{replicas}_seed42.parquet"
+    path = f"/tmp/osmray_bench_pages_r{replicas}_seed42_sharded"
     if not os.path.exists(path):
         from osmptparser_ray.sources import synthesize_pages_parquet
 
-        synthesize_pages_parquet(path, replicas=replicas)
+        synthesize_pages_parquet(path, replicas=replicas, files=64)
     return path
 
 
@@ -39,9 +39,10 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # -- flagship: pages → PT → PIP + kNN + tiles ---------------------------
     pages = _pages_path(replicas)
     # warm OS page cache (untimed)
-    with open(pages, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    for name in sorted(os.listdir(pages)):
+        with open(os.path.join(pages, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     t0 = time.perf_counter()
     out = stop_route_spatial_join(pages)

@@ -127,30 +127,42 @@ def stop_route_spatial_join(
     knn_k: int = 5,
     knn_radius_m: float = 2000.0,
     tile_level: int = 14,
+    small_side: str = "broadcast",
     concurrency: Optional[int | tuple[int, int]] = None,
 ) -> dict[str, rd.Dataset]:
     """The flagship: returns the component datasets (all lazy).
 
     Keys: public_transports, stops (unique), pip (stop×route-hull pairs),
     knn (stop k-nearest-stop rows), tiles (stop→cell assignment).
+
+    ``small_side="broadcast"`` (default): hulls / target stops are the
+    small sides of both spatial joins — broadcast plans (zero shuffle).
+    ``small_side="shuffle"``: the groupby-on-cell / hash-join plans that
+    scale to big-big joins; results identical (tested).
     """
+    from ..spatial.join import knn_join_broadcast, pip_join_broadcast
+
     pt = public_transports_from_pages(
         pages_path, gap=gap, filters=filters, concurrency=concurrency
     ).materialize()  # consumed by 3 downstream branches; small (one row per route)
     stops_all = explode_stops(pt)
     stops = unique_stops(stops_all).materialize()  # reused by pip + knn + tiles
     hulls = route_hulls(pt)
-    pip_pairs = pip_join(
-        stops, hulls, level=pip_level, salt=pip_salt, point_id="stop_id"
+    stops_as_targets = stops.map_batches(
+        lambda t: t.rename_columns(["target_id", "lat", "lon"]), batch_format="pyarrow"
     )
-    knn_pairs = knn_join(
-        stops, stops.map_batches(
-            lambda t: t.rename_columns(["target_id", "lat", "lon"]), batch_format="pyarrow"
-        ),
-        k=knn_k,
-        radius_m=knn_radius_m,
-        query_id="stop_id",
-    )
+    if small_side == "broadcast":
+        pip_pairs = pip_join_broadcast(stops, hulls, point_id="stop_id")
+        knn_pairs = knn_join_broadcast(
+            stops, stops_as_targets, k=knn_k, radius_m=knn_radius_m, query_id="stop_id"
+        )
+    else:
+        pip_pairs = pip_join(
+            stops, hulls, level=pip_level, salt=pip_salt, point_id="stop_id"
+        )
+        knn_pairs = knn_join(
+            stops, stops_as_targets, k=knn_k, radius_m=knn_radius_m, query_id="stop_id"
+        )
     tiles = assign_tiles(stops, tile_level)
     return {
         "public_transports": pt,

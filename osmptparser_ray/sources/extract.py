@@ -35,6 +35,26 @@ def extract_text(html: bytes) -> str:
     return m.group(1).decode("utf-8") if m else ""
 
 
+_PROCESS_EXTRACTORS: dict = {}
+
+
+def extract_batch(batch: pa.Table, include_url: bool = False, validate: bool = True) -> pa.Table:
+    """Task-form extraction: per-worker-process cached extractor state.
+
+    Stateless Ray tasks dispatch with far lower per-task latency than actor
+    pools in this Ray version; the compiled state is amortized via a
+    process-global cache, so tasks get actor-like state reuse with task
+    elasticity. Use the ``OsmPayloadExtractor`` class directly when heavier
+    per-actor state (a real model) is involved.
+    """
+    key = (include_url, validate)
+    ex = _PROCESS_EXTRACTORS.get(key)
+    if ex is None:
+        ex = OsmPayloadExtractor(include_url=include_url, validate=validate)
+        _PROCESS_EXTRACTORS[key] = ex
+    return ex(batch)
+
+
 class OsmPayloadExtractor:
     """pages batch → unified element rows (+ provenance url)."""
 

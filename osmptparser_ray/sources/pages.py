@@ -150,8 +150,31 @@ def synthesize_pages_parquet(
     empty_page_ratio: float = 0.2,
     seed: int = 42,
     row_group_size: int = 2048,
+    files: int | None = None,
 ) -> str:
-    """Write the deterministic pages corpus to one parquet file; returns path."""
+    """Write the deterministic pages corpus; returns path.
+
+    ``files=None`` → one parquet file (small test fixtures). ``files=K`` →
+    ``path`` is a DIRECTORY of K shard files: Ray's parquet read
+    parallelizes at file granularity, so a single-file corpus reads as ONE
+    block and serializes every downstream stage onto one worker — shard
+    any corpus meant for parallel processing (the 100 TB layout is many
+    files per partition anyway).
+    """
+    import os
+
     table = synthesize_pages_table(replicas, elements_per_page, empty_page_ratio, seed)
-    pq.write_table(table, path, row_group_size=row_group_size)
+    if files is None:
+        pq.write_table(table, path, row_group_size=row_group_size)
+        return path
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    per = (n + files - 1) // files
+    for i in range(files):
+        shard = table.slice(i * per, per)
+        if shard.num_rows == 0:
+            break
+        pq.write_table(
+            shard, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
+        )
     return path

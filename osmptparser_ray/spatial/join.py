@@ -48,6 +48,14 @@ from .pip import pack_ring, points_in_ring, ring_bbox, unpack_ring
 _SALT_MULT = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant
 
 
+def _unit_vectors(lats, lons) -> np.ndarray:
+    """(n,) lat/lon degrees → (n, 3) unit vectors on the sphere."""
+    la = np.radians(np.asarray(lats, dtype=np.float64))
+    lo = np.radians(np.asarray(lons, dtype=np.float64))
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=1)
+
+
 def assign_cells(
     ds: rd.Dataset,
     level: int,
@@ -126,32 +134,39 @@ def _poly_rows(
     )
 
 
-def _pip_refine(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-(cell,salt) exact refine: ray-cast every point vs every polygon."""
-    pts = g[g["kind"] == 0]
-    polys = g[g["kind"] == 1]
-    if len(pts) == 0 or len(polys) == 0:
-        return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
-                             "poly_id": pd.Series([], dtype="int64")})
-    lats = pts["lat"].to_numpy()
-    lons = pts["lon"].to_numpy()
-    pids = pts["pid"].to_numpy(dtype=np.int64)
+def _pip_refine_batch(batch: pa.Table) -> pa.Table:
+    """Join-output batch of (point, ring-blob) candidate pairs → exact PIP.
+
+    Fully vectorized per distinct ring in the batch (rings repeat across
+    many candidate rows; dedup by poly id and ray-cast all of that ring's
+    candidate points at once)."""
+    empty = pa.table(
+        {"point_id": pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gids = batch["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = batch["lat"].to_numpy(zero_copy_only=False)
+    lons = batch["lon"].to_numpy(zero_copy_only=False)
+    blobs = batch["blob"].to_pylist()
     out_p, out_g = [], []
-    # polygons may appear once per (cell,salt); dedup within group by id
-    seen: set = set()
-    for pid, blob in zip(polys["pid"].to_numpy(dtype=np.int64), polys["blob"]):
-        if pid in seen:
-            continue
-        seen.add(pid)
-        ry, rx = unpack_ring(blob)
-        hit = points_in_ring(lats, lons, ry, rx)
-        out_p.append(pids[hit])
-        out_g.append(np.full(int(hit.sum()), pid, dtype=np.int64))
+    order = np.argsort(gids, kind="stable")
+    bounds = np.nonzero(np.diff(gids[order]))[0] + 1
+    for grp in np.split(order, bounds):
+        gid = gids[grp[0]]
+        ry, rx = unpack_ring(blobs[grp[0]])
+        hit = points_in_ring(lats[grp], lons[grp], ry, rx)
+        if hit.any():
+            out_p.append(pids[grp][hit])
+            out_g.append(np.full(int(hit.sum()), gid, dtype=np.int64))
     if not out_p:
-        return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
-                             "poly_id": pd.Series([], dtype="int64")})
-    return pd.DataFrame(
-        {"point_id": np.concatenate(out_p), "poly_id": np.concatenate(out_g)}
+        return empty
+    return pa.table(
+        {
+            "point_id": pa.array(np.concatenate(out_p), pa.int64()),
+            "poly_id": pa.array(np.concatenate(out_g), pa.int64()),
+        }
     )
 
 
@@ -167,24 +182,231 @@ def pip_join(
     poly_id: str = "poly_id",
     ring_lat_col: str = "ring_lats",
     ring_lon_col: str = "ring_lons",
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """point-in-polygon join → (point_id, poly_id) pairs.
 
     points:   (point_id:int64, lat:f64, lon:f64, …)
     polygons: (poly_id:int64, ring_lats:list<f64>, ring_lons:list<f64>, …)
+
+    Physical plan: candidate generation is a HASH JOIN on (cell, salt)
+    between the point table and the polygon cover table (rings travel as
+    packed binary blobs — a supported join payload); refinement is a
+    vectorized per-batch ray-cast. A join vectorizes per shuffle partition,
+    unlike a per-cell map_groups that pays a pandas UDF call per tiny cell
+    group. ``salt > 1`` splits a hot cell's points across ``salt``
+    sub-keys (polygons replicated per sub-key) — same results, bounded
+    partition skew.
     """
+    import ray
+
     prows = points.map_batches(
         partial(_points_rows, level=level, salt=salt, id_col=point_id,
                 lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {"cell": t["cell"], "salt": t["salt"], "pid": t["pid"],
+             "lat": t["lat"], "lon": t["lon"]}
+        ),
         batch_format="pyarrow",
     )
     grows = polygons.map_batches(
         partial(_poly_rows, level=level, salt=salt, id_col=poly_id,
                 ring_lat_col=ring_lat_col, ring_lon_col=ring_lon_col),
         batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {"cell": t["cell"], "salt": t["salt"], "gid": t["pid"], "blob": t["blob"]}
+        ),
+        batch_format="pyarrow",
     )
-    both = prows.union(grows)
-    return both.groupby(["cell", "salt"]).map_groups(_pip_refine, batch_format="pandas")
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    npart = num_partitions or max(2, min(64, cpus // 2))
+    pairs = prows.join(
+        grows,
+        join_type="inner",
+        num_partitions=npart,
+        on=("cell", "salt"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return pairs.map_batches(_pip_refine_batch, batch_format="pyarrow")
+
+
+def pip_join_broadcast(
+    points: rd.Dataset,
+    polygons: rd.Dataset,
+    *,
+    point_id: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    poly_id: str = "poly_id",
+    ring_lat_col: str = "ring_lats",
+    ring_lon_col: str = "ring_lons",
+) -> rd.Dataset:
+    """PIP join with the POLYGON side broadcast (classic small-side plan).
+
+    Collects all rings to the driver once (``ray.put``), then a single
+    map_batches over the point stream does bbox-prefilter + exact ray-cast
+    per polygon — zero shuffle. Use when polygons fit comfortably in
+    memory (≲10^5 rings); ``pip_join`` is the big-big shuffle plan.
+    Results identical to ``pip_join`` (same kernel).
+    """
+    import ray
+
+    rings: list[tuple[int, bytes, float, float, float, float]] = []
+    for b in polygons.iter_batches(batch_size=1 << 14, batch_format="pyarrow"):
+        for gid, la, lo in zip(
+            b[poly_id].to_pylist(), b[ring_lat_col].to_pylist(), b[ring_lon_col].to_pylist()
+        ):
+            if not la:
+                continue
+            blob = pack_ring(la, lo)
+            min_lon, min_lat, max_lon, max_lat = ring_bbox(la, lo)
+            rings.append((gid, blob, min_lon, min_lat, max_lon, max_lat))
+    rings_ref = ray.put(rings)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        from ..stages.assemble import _cached_get
+
+        polys = _cached_get(rings_ref)
+        pids = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        lats = batch[lat_col].to_numpy(zero_copy_only=False)
+        lons = batch[lon_col].to_numpy(zero_copy_only=False)
+        out_p, out_g = [], []
+        for gid, blob, min_lon, min_lat, max_lon, max_lat in polys:
+            cand = (
+                (lats >= min_lat) & (lats <= max_lat) & (lons >= min_lon) & (lons <= max_lon)
+            )
+            if not cand.any():
+                continue
+            ry, rx = unpack_ring(blob)
+            hit = points_in_ring(lats[cand], lons[cand], ry, rx)
+            if hit.any():
+                out_p.append(pids[cand][hit])
+                out_g.append(np.full(int(hit.sum()), gid, dtype=np.int64))
+        if not out_p:
+            return pa.table(
+                {"point_id": pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "point_id": pa.array(np.concatenate(out_p), pa.int64()),
+                "poly_id": pa.array(np.concatenate(out_g), pa.int64()),
+            }
+        )
+
+    return points.map_batches(refine, batch_format="pyarrow")
+
+
+def knn_join_broadcast(
+    queries: rd.Dataset,
+    targets: rd.Dataset,
+    k: int = 5,
+    radius_m: float = 2000.0,
+    *,
+    query_id: str = "point_id",
+    target_id: str = "target_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> rd.Dataset:
+    """Fixed-radius kNN with the TARGET side broadcast (small-side plan).
+
+    Target coords are collected once (three numpy arrays via ``ray.put``);
+    each query batch computes a chunked vectorized haversine matrix against
+    them. Exact (no cell approximation). Use when targets fit in memory
+    (≲10^6 points); ``knn_join`` is the shuffle plan.
+    """
+    import ray
+
+    tid_parts, tlat_parts, tlon_parts = [], [], []
+    for b in targets.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+        tid_parts.append(b[target_id].to_numpy(zero_copy_only=False).astype(np.int64))
+        tlat_parts.append(b[lat_col].to_numpy(zero_copy_only=False))
+        tlon_parts.append(b[lon_col].to_numpy(zero_copy_only=False))
+    tids = np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
+    tlats = np.concatenate(tlat_parts) if tlat_parts else np.empty(0)
+    tlons = np.concatenate(tlon_parts) if tlon_parts else np.empty(0)
+    # bucket targets by cell at the finest radius-valid level: per-query
+    # candidates are the 3×3 neighborhood ranges of the cell-sorted arrays
+    lvl = max(0, choose_level_for_radius(radius_m))
+    tcells = encode_cell(tlats, tlons, lvl)
+    t_order = np.argsort(tcells, kind="stable")
+    t_ref = ray.put(
+        (tcells[t_order], tids[t_order], tlats[t_order], tlons[t_order], lvl)
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        from ..stages.assemble import _cached_get
+
+        tcells_s, tids_s, tlats_s, tlons_s, lvl = _cached_get(t_ref)
+        empty = pa.table(
+            {
+                "point_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist_m": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if len(tids_s) == 0 or batch.num_rows == 0:
+            return empty
+        qids = batch[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        qlats = batch[lat_col].to_numpy(zero_copy_only=False)
+        qlons = batch[lon_col].to_numpy(zero_copy_only=False)
+        qcells = encode_cell(qlats, qlons, lvl)
+        # process queries grouped by their cell: candidates = the 9 cell
+        # ranges of the sorted target arrays (exact within radius_m because
+        # the cell height at lvl ≥ radius_m); per-group haversine matrices
+        # stay tiny, no giant (Q, T) allocation
+        q_order = np.argsort(qcells, kind="stable")
+        bounds = np.nonzero(np.diff(qcells[q_order]))[0] + 1
+        out_q, out_n, out_d, out_r = [], [], [], []
+        for grp in np.split(q_order, bounds):
+            cell = np.uint64(qcells[grp[0]])
+            neigh = cell_neighbors(np.array([cell], dtype=np.uint64))[0]
+            cand_parts = []
+            for c in np.unique(neigh):
+                lo = np.searchsorted(tcells_s, c, side="left")
+                hi = np.searchsorted(tcells_s, c, side="right")
+                if hi > lo:
+                    cand_parts.append(np.arange(lo, hi))
+            if not cand_parts:
+                continue
+            cand = np.concatenate(cand_parts)
+            d = haversine_m_vec(
+                qlats[grp][:, None],
+                qlons[grp][:, None],
+                tlats_s[cand][None, :],
+                tlons_s[cand][None, :],
+            )
+            kk = min(k, d.shape[1])
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(d.shape[0])[:, None]
+            dk = d[rows, idx]
+            tk = tids_s[cand][idx]
+            order = np.lexsort((tk, dk), axis=1)
+            idx = idx[rows, order]
+            dk = dk[rows, order]
+            tk = tk[rows, order]
+            for qi in range(d.shape[0]):
+                mask = dk[qi] <= radius_m
+                nn = tk[qi][mask]
+                out_q.append(np.full(len(nn), qids[grp[qi]], dtype=np.int64))
+                out_n.append(nn)
+                out_d.append(dk[qi][mask])
+                out_r.append(np.arange(1, len(nn) + 1, dtype=np.int64))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "point_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist_m": pa.array(np.concatenate(out_d), pa.float64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        )
+
+    return queries.map_batches(refine, batch_format="pyarrow", batch_size=4096)
 
 
 # ---------------------------------------------------------------------------
@@ -290,9 +512,13 @@ def knn_join(
     """k nearest targets within ``radius_m`` per query point.
 
     Output: (point_id, neighbor_id, dist_m, rank). Exact for targets within
-    radius_m when ``level`` is chosen so cell height ≥ radius_m (default).
+    radius_m when ``level`` is chosen so cell height ≥ radius_m; the
+    default picks ONE level coarser than the finest valid one — fewer,
+    larger cell groups amortize the per-group refine cost while the 3×3
+    neighborhood still covers the radius (any level ≤ finest-valid is
+    correct).
     """
-    lvl = level if level is not None else choose_level_for_radius(radius_m)
+    lvl = level if level is not None else max(0, choose_level_for_radius(radius_m) - 1)
     q = queries.map_batches(
         partial(_query_rows, level=lvl, id_col=query_id, lat_col=lat_col, lon_col=lon_col),
         batch_format="pyarrow",

@@ -27,7 +27,7 @@ the shuffle path).
 from __future__ import annotations
 
 from functools import partial
-from typing import Literal, Optional
+from typing import Literal, NamedTuple, Optional
 
 import numpy as np
 import pandas as pd
@@ -84,40 +84,168 @@ def _geometry_value(segments) -> list:
     ]
 
 
-def collect_way_lookup(ways: rd.Dataset) -> dict[int, list[int]]:
-    """member way id → ordered node refs (broadcast side for assembly)."""
-    out: dict[int, list[int]] = {}
+class WayIndex(NamedTuple):
+    """Columnar member-way lookup: sorted ids + CSR-style flat refs.
+
+    Shared through the object store as plain numpy arrays — zero-copy reads
+    in every assembly actor (a python dict would cost a full unpickle per
+    actor and a per-node dict probe per lookup).
+    """
+
+    ids: np.ndarray  # int64, sorted
+    ref_offsets: np.ndarray  # int64, len == len(ids)+1
+    refs: np.ndarray  # int64 flat
+
+    def lookup(self, way_id: int):
+        i = int(np.searchsorted(self.ids, way_id))
+        if i >= len(self.ids) or self.ids[i] != way_id:
+            return None
+        return self.refs[self.ref_offsets[i] : self.ref_offsets[i + 1]]
+
+
+class NodeIndex(NamedTuple):
+    """Columnar node-coord lookup (sorted ids) + stop-only tag dict.
+
+    ``stop_tags`` holds tag items ONLY for ids that appear as relation stop
+    members — a tiny subset of all referenced nodes."""
+
+    ids: np.ndarray  # int64, sorted
+    lats: np.ndarray
+    lons: np.ndarray
+    stop_tags: dict
+
+    def gather(self, ref_ids: np.ndarray):
+        """refs → (found_ids, lats, lons), silently dropping missing nodes
+        (reference mod.rs:680)."""
+        refs = np.asarray(ref_ids, dtype=np.int64)
+        idx = np.searchsorted(self.ids, refs)
+        idx_c = np.minimum(idx, len(self.ids) - 1) if len(self.ids) else idx
+        ok = (
+            (self.ids[idx_c] == refs)
+            if len(self.ids)
+            else np.zeros(len(refs), dtype=bool)
+        )
+        sel = idx_c[ok]
+        return refs[ok], self.lats[sel], self.lons[sel]
+
+    def stop(self, nid: int):
+        """stop id → (lat, lon, tag_items) or None (mod.rs:693)."""
+        i = int(np.searchsorted(self.ids, nid))
+        if i >= len(self.ids) or self.ids[i] != nid:
+            return None
+        return self.lats[i], self.lons[i], self.stop_tags.get(nid, [])
+
+
+def build_way_index(ways: rd.Dataset) -> WayIndex:
+    """Member ways → WayIndex; fully vectorized collection (ids/lengths/flat
+    refs as numpy, one argsort)."""
+    ids_parts, len_parts, ref_parts = [], [], []
     cols = ["id", "node_refs", "is_member"]
     for b in ways.select_columns(cols).iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
         b = b.filter(b["is_member"])
-        for wid, refs in zip(b["id"].to_pylist(), b["node_refs"].to_pylist()):
-            out[wid] = refs
-    return out
+        refs = b["node_refs"].combine_chunks()
+        ids_parts.append(b["id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        len_parts.append(pc.list_value_length(refs).to_numpy(zero_copy_only=False).astype(np.int64))
+        ref_parts.append(refs.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ids_parts:
+        z = np.empty(0, np.int64)
+        return WayIndex(z, np.zeros(1, np.int64), z)
+    ids = np.concatenate(ids_parts)
+    lens = np.concatenate(len_parts)
+    refs = np.concatenate(ref_parts)
+    # reorder CSR by sorted id (duplicate ids: keep the last, matching the
+    # reference's HashMap last-wins merge, mod.rs:422)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    # drop earlier duplicates (keep last occurrence per id)
+    keep = np.ones(len(ids_sorted), dtype=bool)
+    keep[:-1] = ids_sorted[:-1] != ids_sorted[1:]
+    order = order[keep]
+    ids_sorted = ids_sorted[keep]
+    lens_o = lens[order]
+    offs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens_o, out=offs[1:])
+    flat = np.empty(int(lens_o.sum()), dtype=np.int64)
+    for k, oi in enumerate(order):
+        flat[offs[k] : offs[k + 1]] = refs[starts[oi] : ends[oi]]
+    return WayIndex(ids_sorted, offs, flat)
 
 
-def collect_node_lookup(nodes: rd.Dataset) -> dict[int, tuple[float, float, list]]:
-    """node id → (lat, lon, tag-items) (broadcast side for assembly)."""
-    out: dict[int, tuple[float, float, list]] = {}
+def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -> NodeIndex:
+    """Nodes → NodeIndex; tags materialized only for ``stop_ids``."""
+    id_parts, lat_parts, lon_parts = [], [], []
+    stop_tags: dict = {}
+    stop_sorted = (
+        np.sort(np.asarray(stop_ids, dtype=np.int64)) if stop_ids is not None else None
+    )
     for b in nodes.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
-        tags = b["tags"].to_pylist()
-        for i, (nid, lat, lon) in enumerate(
-            zip(b["id"].to_pylist(), b["lat"].to_pylist(), b["lon"].to_pylist())
-        ):
-            out[nid] = (lat, lon, tags[i])
-    return out
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id_parts.append(ids)
+        lat_parts.append(b["lat"].to_numpy(zero_copy_only=False))
+        lon_parts.append(b["lon"].to_numpy(zero_copy_only=False))
+        if stop_sorted is not None and len(stop_sorted):
+            pos = np.searchsorted(stop_sorted, ids)
+            pos_c = np.minimum(pos, len(stop_sorted) - 1)
+            hit = stop_sorted[pos_c] == ids
+            if hit.any():
+                tag_col = b["tags"].combine_chunks()
+                for i in np.nonzero(hit)[0]:
+                    stop_tags[int(ids[i])] = tag_col[int(i)].as_py()
+        elif stop_sorted is None:
+            tag_col = b["tags"].to_pylist()
+            for i, nid in enumerate(ids):
+                stop_tags[int(nid)] = tag_col[i]
+    if not id_parts:
+        z = np.empty(0, np.int64)
+        return NodeIndex(z, z.astype(np.float64), z.astype(np.float64), stop_tags)
+    ids = np.concatenate(id_parts)
+    lats = np.concatenate(lat_parts)
+    lons = np.concatenate(lon_parts)
+    order = np.argsort(ids, kind="stable")
+    ids, lats, lons = ids[order], lats[order], lons[order]
+    # last-wins dedup (mod.rs:494)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[:-1] = ids[:-1] != ids[1:]
+    return NodeIndex(ids[keep], lats[keep], lons[keep], stop_tags)
+
+
+def collect_stop_ids(relations: rd.Dataset) -> np.ndarray:
+    parts = []
+    for b in relations.select_columns(["stop_ids"]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        col = b["stop_ids"].combine_chunks()
+        parts.append(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """ray.get memoized per worker process (numpy parts are plasma
+    zero-copy; the stop-tag dict would otherwise unpickle per task)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _BROADCAST_CACHE[key] = hit
+    return hit
 
 
 class _BroadcastAssembler:
     """relations batch → flattened PublicTransport / relation-Area rows.
 
-    Actor-pool stage: the two lookup dicts are fetched from the object
-    store ONCE per actor in __init__ (zero-copy plasma read of the shared
-    broadcast copy), then reused for every batch.
+    Runs as stateless TASKS (elastic, low dispatch latency); the broadcast
+    indexes are fetched through a per-worker-process cache, giving
+    actor-style state amortization without actor-pool dispatch overhead.
     """
 
     def __init__(self, ways_ref, nodes_ref, gap: float, closed: bool, as_area: bool):
-        self.ways: dict = ray.get(ways_ref)
-        self.nodes: dict = ray.get(nodes_ref)
+        self.ways: WayIndex = _cached_get(ways_ref)
+        self.nodes: NodeIndex = _cached_get(nodes_ref)
         self.gap = gap
         self.closed = closed
         self.as_area = as_area
@@ -125,15 +253,11 @@ class _BroadcastAssembler:
     def _resolve_seqs(self, way_ids: list[int]) -> list[NodeSeq]:
         seqs = []
         for wid in way_ids:
-            refs = self.ways.get(wid)
+            refs = self.ways.lookup(wid)
             if refs is None:
                 continue  # missing way silently filtered (mod.rs:672)
-            pts = [(nid, *self.nodes[nid][:2]) for nid in refs if nid in self.nodes]
-            seqs.append(
-                NodeSeq.build(
-                    [p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts]
-                )
-            )
+            ids, lats, lons = self.nodes.gather(refs)
+            seqs.append(NodeSeq(ids, lats, lons))
         return seqs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -150,7 +274,7 @@ class _BroadcastAssembler:
             if not self.as_area:
                 stops = []
                 for nid in stop_ids:
-                    hit = self.nodes.get(nid)
+                    hit = self.nodes.stop(nid)
                     if hit is None:
                         continue  # missing stop silently filtered (mod.rs:693)
                     stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})
@@ -187,7 +311,7 @@ class _WayAreaFlattener:
     """
 
     def __init__(self, nodes_ref, gap: float):
-        self.nodes: dict = ray.get(nodes_ref)
+        self.nodes: NodeIndex = _cached_get(nodes_ref)
         self.gap = gap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -196,8 +320,8 @@ class _WayAreaFlattener:
         refs_col = batch["node_refs"].to_pylist()
         geoms, codes, details = [], [], []
         for refs in refs_col:
-            pts = [(nid, *self.nodes[nid][:2]) for nid in refs if nid in self.nodes]
-            seq = NodeSeq.build([p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts])
+            nids, lats, lons = self.nodes.gather(np.asarray(refs, dtype=np.int64))
+            seq = NodeSeq(nids, lats, lons)
             segments, status = flatten_single_way(seq, self.gap, True)
             geoms.append(_geometry_value(segments))
             codes.append(status.code)
@@ -213,6 +337,15 @@ class _WayAreaFlattener:
                 "status_detail": pa.array(details, pa.string()),
             }
         )
+
+
+def _assemble_task(batch: pa.Table, *, ways_ref, nodes_ref, gap, closed, as_area) -> pa.Table:
+    """Task-form wrapper: construction is cheap given _cached_get."""
+    return _BroadcastAssembler(ways_ref, nodes_ref, gap, closed, as_area)(batch)
+
+
+def _way_area_task(batch: pa.Table, *, nodes_ref, gap) -> pa.Table:
+    return _WayAreaFlattener(nodes_ref, gap)(batch)
 
 
 def get_public_transports(
@@ -231,19 +364,20 @@ def get_public_transports(
     if mode == "shuffle":
         return _assemble_shuffle(tables, gap, closed=False, as_area=False,
                                  num_partitions=num_partitions)
-    ways_ref = ray.put(collect_way_lookup(tables.ways))
-    nodes_ref = ray.put(collect_node_lookup(tables.nodes))
+    ways_ref = ray.put(build_way_index(tables.ways))
+    nodes_ref = ray.put(
+        build_node_index(tables.nodes, collect_stop_ids(tables.relations))
+    )
     return tables.relations.map_batches(
-        _BroadcastAssembler,
-        fn_constructor_kwargs={
-            "ways_ref": ways_ref,
-            "nodes_ref": nodes_ref,
-            "gap": gap,
-            "closed": False,
-            "as_area": False,
-        },
+        partial(
+            _assemble_task,
+            ways_ref=ways_ref,
+            nodes_ref=nodes_ref,
+            gap=gap,
+            closed=False,
+            as_area=False,
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency or default_actor_concurrency(),
     )
 
 
@@ -261,29 +395,26 @@ def get_areas(
     including Broken; CLI-parity filtering (drop status!=0 / empty
     geometry, bin.rs:68-73) is `cli_area_filter`.
     """
-    nodes_ref = ray.put(collect_node_lookup(tables.nodes))
+    nodes_ref = ray.put(build_node_index(tables.nodes))
     if mode == "shuffle":
         rel_areas = _assemble_shuffle(tables, gap, closed=True, as_area=True,
                                       num_partitions=num_partitions)
     else:
-        ways_ref = ray.put(collect_way_lookup(tables.ways))
+        ways_ref = ray.put(build_way_index(tables.ways))
         rel_areas = tables.relations.map_batches(
-            _BroadcastAssembler,
-            fn_constructor_kwargs={
-                "ways_ref": ways_ref,
-                "nodes_ref": nodes_ref,
-                "gap": gap,
-                "closed": True,
-                "as_area": True,
-            },
+            partial(
+                _assemble_task,
+                ways_ref=ways_ref,
+                nodes_ref=nodes_ref,
+                gap=gap,
+                closed=True,
+                as_area=True,
+            ),
             batch_format="pyarrow",
-            concurrency=concurrency or default_actor_concurrency(),
         )
     way_areas = tables.ways.map_batches(
-        _WayAreaFlattener,
-        fn_constructor_kwargs={"nodes_ref": nodes_ref, "gap": gap},
+        partial(_way_area_task, nodes_ref=nodes_ref, gap=gap),
         batch_format="pyarrow",
-        concurrency=concurrency or default_actor_concurrency(),
     )
     return rel_areas.union(way_areas)
 
@@ -435,14 +566,18 @@ def _assemble_shuffle(
         for i, rid in enumerate(b["id"].to_pylist()):
             meta[rid] = (tag_items[i], info_items[i], stop_lists[i])
     meta_ref = ray.put(meta)
-    nodes_ref = ray.put(collect_node_lookup(tables.nodes)) if not as_area else None
+    nodes_ref = (
+        ray.put(build_node_index(tables.nodes, collect_stop_ids(tables.relations)))
+        if not as_area
+        else None
+    )
 
     class FinishMeta:
         """Attach broadcast tags/info (+ resolved stops for PT rows)."""
 
         def __init__(self):
-            self.meta = ray.get(meta_ref)
-            self.nodes = ray.get(nodes_ref) if nodes_ref is not None else None
+            self.meta = _cached_get(meta_ref)
+            self.nodes = _cached_get(nodes_ref) if nodes_ref is not None else None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["id"].to_pylist()
@@ -464,7 +599,7 @@ def _assemble_shuffle(
                 for r in ids:
                     stops = []
                     for nid in self.meta[r][2]:
-                        hit = self.nodes.get(nid)
+                        hit = self.nodes.stop(nid)
                         if hit is None:
                             continue  # missing stop silently filtered (mod.rs:693)
                         stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})

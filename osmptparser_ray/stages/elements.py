@@ -37,13 +37,26 @@ import ray
 import ray.data as rd
 
 from ..kernel.filters import TagFilter
-from ..sources.extract import OsmPayloadExtractor
+from ..sources.extract import OsmPayloadExtractor, extract_batch
 from ..util import default_actor_concurrency
 
 
 def read_pages(path: str, validate: bool = True, **read_kwargs) -> rd.Dataset:
-    """Read the pages corpus with column pruning (only what extraction needs)."""
+    """Read the pages corpus with column pruning (only what extraction needs).
+
+    ``override_num_blocks`` defaults to 4× the CPU count: downstream
+    map_batches parallelism equals the BLOCK count, and a small single-file
+    corpus would otherwise read as one block and serialize the whole
+    extraction stage onto one worker. (At 100 TB the input is many files and
+    the default block sizing is already right — pass
+    ``override_num_blocks=None`` through ``read_kwargs`` to disable.)
+    """
     columns = ["url", "html", "text"] if validate else ["url", "html"]
+    if "override_num_blocks" not in read_kwargs:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        read_kwargs["override_num_blocks"] = 4 * cpus
+    if read_kwargs.get("override_num_blocks") is None:
+        read_kwargs.pop("override_num_blocks")
     return rd.read_parquet(path, columns=columns, **read_kwargs)
 
 
@@ -55,13 +68,25 @@ def extract_elements(
     batch_size: int = 64,
     concurrency: Optional[int | tuple[int, int]] = None,
 ) -> rd.Dataset:
-    """pages → unified element rows via the stateful extractor actor pool."""
+    """pages → unified element rows.
+
+    Stateless tasks with per-worker-process extractor caching (see
+    sources.extract.extract_batch) — actor-pool dispatch overhead would
+    cap throughput here; pass ``concurrency`` to force an actor pool when
+    the extractor grows real per-actor state.
+    """
+    if concurrency is not None:
+        return pages.map_batches(
+            OsmPayloadExtractor,
+            fn_constructor_kwargs={"include_url": include_url, "validate": validate},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return pages.map_batches(
-        OsmPayloadExtractor,
-        fn_constructor_kwargs={"include_url": include_url, "validate": validate},
+        partial(extract_batch, include_url=include_url, validate=validate),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_actor_concurrency(),
     )
 
 

@@ -232,3 +232,37 @@ class TestRasterVectorJoin:
         )
         got = {r["cell"] for r in rows}
         assert vcells <= got
+
+
+class TestBroadcastParity:
+    """Broadcast (small-side) spatial joins must equal the shuffle plans."""
+
+    def test_knn_broadcast_equals_cell_shuffle(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial import knn_join, knn_join_broadcast
+
+        r = np.random.default_rng(5)
+        q = rd.from_arrow(pa.table({
+            "point_id": np.arange(120, dtype=np.int64),
+            "lat": r.uniform(-2.3, -2.0, 120), "lon": r.uniform(-80.1, -79.8, 120)}))
+        t = rd.from_arrow(pa.table({
+            "target_id": np.arange(1000, 1300, dtype=np.int64),
+            "lat": r.uniform(-2.3, -2.0, 300), "lon": r.uniform(-80.1, -79.8, 300)}))
+        a = sorted((x["point_id"], x["rank"], x["neighbor_id"])
+                   for x in knn_join(q, t, k=3, radius_m=2000.0).take_all())
+        b = sorted((x["point_id"], x["rank"], x["neighbor_id"])
+                   for x in knn_join_broadcast(q, t, k=3, radius_m=2000.0).take_all())
+        assert a == b and len(a) > 0
+
+    def test_pip_broadcast_equals_join(self, ray_session, stops_polys):
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial import pip_join, pip_join_broadcast
+
+        ids, lats, lons, polys = stops_polys
+        points = rd.from_arrow(pa.table({"point_id": ids, "lat": lats, "lon": lons}))
+        polys_ds = rd.from_items(polys)
+        a = {(r["point_id"], r["poly_id"]) for r in pip_join(points, polys_ds, level=10).take_all()}
+        b = {(r["point_id"], r["poly_id"]) for r in pip_join_broadcast(points, polys_ds).take_all()}
+        assert a == b and len(a) > 0

@@ -269,11 +269,12 @@ def _q_hash_join(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    cpus = int(ray.cluster_resources().get("CPU", 4))
+    from osmptparser_ray.util import join_partitions
+
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=max(2, min(32, cpus // 2)),
+        num_partitions=join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
         aggregator_ray_remote_args={"num_cpus": 0.25},

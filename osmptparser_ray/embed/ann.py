@@ -22,7 +22,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..util import default_actor_concurrency
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -58,7 +57,9 @@ def knn_bruteforce(
 
     class PartialTopK:
         def __init__(self):
-            self.q, self.qids = ray.get(q_ref)
+            from ..util import cached_get
+
+            self.q, self.qids = cached_get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_to_matrix(batch[vec_col]))
@@ -84,7 +85,7 @@ def knn_bruteforce(
             )
 
     partials = vectors.map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=default_actor_concurrency()
+        lambda t, _cls=PartialTopK: _cls()(t), batch_format="pyarrow"
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +134,9 @@ def lsh_ann(
         """Per-batch: bucket vectors, score only same-bucket queries."""
 
         def __init__(self):
-            self.q, self.qids, self.planes = ray.get(q_ref)
+            from ..util import cached_get
+
+            self.q, self.qids, self.planes = cached_get(q_ref)
             self.qbuckets = _bucket_of(self.q, self.planes)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -162,7 +165,7 @@ def lsh_ann(
             )
 
     partials = vectors.map_batches(
-        BucketRefine, batch_format="pyarrow", concurrency=default_actor_concurrency()
+        lambda t, _cls=BucketRefine: _cls()(t), batch_format="pyarrow"
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -59,13 +59,27 @@ def explode_stops(pt: rd.Dataset) -> rd.Dataset:
 
 
 def unique_stops(stops: rd.Dataset) -> rd.Dataset:
-    """Distinct stop points — groupby-aggregate (all duplicates of a stop id
-    carry identical coords, so Min(lat)/Min(lon) is exact); avoids a pandas
-    UDF call per stop."""
+    """Distinct stop points — local per-batch dedup (combiner) then a
+    groupby-aggregate over the much smaller residue. All duplicates of a
+    stop id carry identical coords, so Min(lat)/Min(lon) is exact."""
     from ray.data.aggregate import Min
 
-    return stops.groupby("stop_id").aggregate(
-        Min("lat", alias_name="lat"), Min("lon", alias_name="lon")
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        ids = batch["stop_id"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(ids, return_index=True)
+        take = pa.array(np.sort(first_idx), pa.int64())
+        return pa.table(
+            {
+                "stop_id": batch["stop_id"].take(take),
+                "lat": batch["lat"].take(take),
+                "lon": batch["lon"].take(take),
+            }
+        )
+
+    return (
+        stops.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("stop_id")
+        .aggregate(Min("lat", alias_name="lat"), Min("lon", alias_name="lon"))
     )
 
 
@@ -128,6 +142,7 @@ def stop_route_spatial_join(
     knn_radius_m: float = 2000.0,
     tile_level: int = 14,
     small_side: str = "broadcast",
+    validate: bool = True,
     concurrency: Optional[int | tuple[int, int]] = None,
 ) -> dict[str, rd.Dataset]:
     """The flagship: returns the component datasets (all lazy).
@@ -143,7 +158,7 @@ def stop_route_spatial_join(
     from ..spatial.join import knn_join_broadcast, pip_join_broadcast
 
     pt = public_transports_from_pages(
-        pages_path, gap=gap, filters=filters, concurrency=concurrency
+        pages_path, gap=gap, filters=filters, validate=validate, concurrency=concurrency
     ).materialize()  # consumed by 3 downstream branches; small (one row per route)
     stops_all = explode_stops(pt)
     stops = unique_stops(stops_all).materialize()  # reused by pip + knn + tiles

@@ -66,7 +66,11 @@ class OsmPayloadExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch["html"].to_pylist()
-        urls = batch["url"].to_pylist()
+        urls = (
+            batch["url"].to_pylist()
+            if "url" in batch.column_names
+            else [None] * len(htmls)
+        )
         texts = batch["text"].to_pylist() if self.validate and "text" in batch.column_names else None
         cols = empty_columns()
         page_urls: list[str] = []

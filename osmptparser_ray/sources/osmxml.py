@@ -64,7 +64,9 @@ def parse_osm_payload(payload: str, out: dict[str, list]) -> int:
         out["kind"].append(kind)
         out["id"].append(int(el.attrib["id"]))
         out["tags"].append(_tags_of(el))
-        out["info"].append(_info_of(el))
+        # nodes carry NO info — the reference's NodeData has no info field
+        # (mod.rs:21-26); dropping it halves the node rows' byte volume
+        out["info"].append([] if kind == "node" else _info_of(el))
         if kind == "node":
             out["lat"].append(float(el.attrib["lat"]))
             out["lon"].append(float(el.attrib["lon"]))

@@ -221,8 +221,9 @@ def pip_join(
         ),
         batch_format="pyarrow",
     )
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    npart = num_partitions or max(2, min(64, cpus // 2))
+    from ..util import join_partitions
+
+    npart = num_partitions or join_partitions()
     pairs = prows.join(
         grows,
         join_type="inner",
@@ -267,9 +268,9 @@ def pip_join_broadcast(
     rings_ref = ray.put(rings)
 
     def refine(batch: pa.Table) -> pa.Table:
-        from ..stages.assemble import _cached_get
+        from ..util import cached_get
 
-        polys = _cached_get(rings_ref)
+        polys = cached_get(rings_ref)
         pids = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
         lats = batch[lat_col].to_numpy(zero_copy_only=False)
         lons = batch[lon_col].to_numpy(zero_copy_only=False)
@@ -337,9 +338,9 @@ def knn_join_broadcast(
     )
 
     def refine(batch: pa.Table) -> pa.Table:
-        from ..stages.assemble import _cached_get
+        from ..util import cached_get
 
-        tcells_s, tids_s, tlats_s, tlons_s, lvl = _cached_get(t_ref)
+        tcells_s, tids_s, tlats_s, tlons_s, lvl = cached_get(t_ref)
         empty = pa.table(
             {
                 "point_id": pa.array([], pa.int64()),
@@ -580,8 +581,9 @@ def raster_vector_join(
     cover = routes.map_batches(
         partial(_route_cover_rows, level=level, id_col=route_id), batch_format="pyarrow"
     )
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    npart = num_partitions or max(2, min(64, cpus // 2))
+    from ..util import join_partitions
+
+    npart = num_partitions or join_partitions()
     return tiles.select_columns(["cell"]).join(
         cover,
         join_type="inner",

@@ -85,34 +85,41 @@ def _geometry_value(segments) -> list:
 
 
 class WayIndex(NamedTuple):
-    """Columnar member-way lookup: sorted ids + CSR-style flat refs.
+    """Columnar member-way lookup: sorted-id permutation over CSR refs.
 
-    Shared through the object store as plain numpy arrays — zero-copy reads
-    in every assembly actor (a python dict would cost a full unpickle per
-    actor and a per-node dict probe per lookup).
+    ``ids`` is sorted for binary search; ``rows[i]`` maps back to the
+    UNSORTED CSR row, so the flat refs array is never reshuffled (reordering
+    it costs a python loop or a giant gather — the permutation costs one
+    argsort). Shared through the object store as plain numpy arrays —
+    zero-copy reads in every assembly task.
     """
 
-    ids: np.ndarray  # int64, sorted
-    ref_offsets: np.ndarray  # int64, len == len(ids)+1
-    refs: np.ndarray  # int64 flat
+    ids: np.ndarray  # int64, sorted (deduped last-wins)
+    rows: np.ndarray  # int64: position in the original CSR ordering
+    ref_offsets: np.ndarray  # int64, len == n_original+1 (UNSORTED order)
+    refs: np.ndarray  # int64 flat (UNSORTED order)
 
     def lookup(self, way_id: int):
         i = int(np.searchsorted(self.ids, way_id))
         if i >= len(self.ids) or self.ids[i] != way_id:
             return None
-        return self.refs[self.ref_offsets[i] : self.ref_offsets[i + 1]]
+        r = self.rows[i]
+        return self.refs[self.ref_offsets[r] : self.ref_offsets[r + 1]]
 
 
 class NodeIndex(NamedTuple):
-    """Columnar node-coord lookup (sorted ids) + stop-only tag dict.
+    """Columnar node-coord lookup (sorted ids) + stop-only tag columns.
 
-    ``stop_tags`` holds tag items ONLY for ids that appear as relation stop
-    members — a tiny subset of all referenced nodes."""
+    Stop tags are an Arrow map array aligned with a sorted id array — NOT a
+    python dict: a dict of ~10^6 entries costs seconds to unpickle in EVERY
+    worker process, while Arrow/numpy payloads are (near-)zero-copy plasma
+    reads. Tags cover ONLY ids that appear as relation stop members."""
 
     ids: np.ndarray  # int64, sorted
     lats: np.ndarray
     lons: np.ndarray
-    stop_tags: dict
+    stop_ids: np.ndarray  # int64, sorted (subset of ids)
+    stop_tags: "pa.Array"  # map<string,string>, aligned with stop_ids
 
     def gather(self, ref_ids: np.ndarray):
         """refs → (found_ids, lats, lons), silently dropping missing nodes
@@ -128,12 +135,36 @@ class NodeIndex(NamedTuple):
         sel = idx_c[ok]
         return refs[ok], self.lats[sel], self.lons[sel]
 
-    def stop(self, nid: int):
-        """stop id → (lat, lon, tag_items) or None (mod.rs:693)."""
-        i = int(np.searchsorted(self.ids, nid))
-        if i >= len(self.ids) or self.ids[i] != nid:
-            return None
-        return self.lats[i], self.lons[i], self.stop_tags.get(nid, [])
+    def stops_bulk(self, stop_ids_flat: np.ndarray):
+        """Bulk stop resolution for MANY stop ids at once (C-path arrow
+        take + one to_pylist). → (found_mask, lats, lons, tags_list);
+        missing stops yield found_mask False (mod.rs:693)."""
+        refs = np.asarray(stop_ids_flat, dtype=np.int64)
+        n = len(refs)
+        if len(self.ids) == 0 or n == 0:
+            return np.zeros(n, bool), np.empty(0), np.empty(0), []
+        idx = np.searchsorted(self.ids, refs)
+        idx_c = np.minimum(idx, len(self.ids) - 1)
+        ok = self.ids[idx_c] == refs
+        sel = idx_c[ok]
+        lats, lons = self.lats[sel], self.lons[sel]
+        # tags: align through the sorted stop-id subset
+        found = refs[ok]
+        tpos = np.searchsorted(self.stop_ids, found)
+        tpos_c = np.minimum(tpos, max(len(self.stop_ids) - 1, 0))
+        thit = (
+            self.stop_ids[tpos_c] == found
+            if len(self.stop_ids)
+            else np.zeros(len(found), bool)
+        )
+        tags_list: list = [[]] * len(found)
+        if thit.any():
+            taken = self.stop_tags.take(pa.array(tpos_c[thit], pa.int64())).to_pylist()
+            k = 0
+            for i in np.nonzero(thit)[0]:
+                tags_list[int(i)] = taken[k]
+                k += 1
+        return ok, lats, lons, tags_list
 
 
 def build_way_index(ways: rd.Dataset) -> WayIndex:
@@ -149,34 +180,28 @@ def build_way_index(ways: rd.Dataset) -> WayIndex:
         ref_parts.append(refs.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
     if not ids_parts:
         z = np.empty(0, np.int64)
-        return WayIndex(z, np.zeros(1, np.int64), z)
+        return WayIndex(z, z, np.zeros(1, np.int64), z)
     ids = np.concatenate(ids_parts)
     lens = np.concatenate(len_parts)
     refs = np.concatenate(ref_parts)
-    # reorder CSR by sorted id (duplicate ids: keep the last, matching the
-    # reference's HashMap last-wins merge, mod.rs:422)
-    ends = np.cumsum(lens)
-    starts = ends - lens
+    offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # sorted-id permutation; duplicate ids keep the LAST occurrence,
+    # matching the reference's HashMap last-wins merge (mod.rs:422).
+    # No ref movement — fully vectorized.
     order = np.argsort(ids, kind="stable")
     ids_sorted = ids[order]
-    # drop earlier duplicates (keep last occurrence per id)
     keep = np.ones(len(ids_sorted), dtype=bool)
     keep[:-1] = ids_sorted[:-1] != ids_sorted[1:]
-    order = order[keep]
-    ids_sorted = ids_sorted[keep]
-    lens_o = lens[order]
-    offs = np.zeros(len(order) + 1, dtype=np.int64)
-    np.cumsum(lens_o, out=offs[1:])
-    flat = np.empty(int(lens_o.sum()), dtype=np.int64)
-    for k, oi in enumerate(order):
-        flat[offs[k] : offs[k + 1]] = refs[starts[oi] : ends[oi]]
-    return WayIndex(ids_sorted, offs, flat)
+    return WayIndex(ids_sorted[keep], order[keep], offs, refs)
 
 
 def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -> NodeIndex:
-    """Nodes → NodeIndex; tags materialized only for ``stop_ids``."""
+    """Nodes → NodeIndex; tags kept (columnar) only for ``stop_ids`` (or all
+    nodes when ``stop_ids`` is None)."""
     id_parts, lat_parts, lon_parts = [], [], []
-    stop_tags: dict = {}
+    stop_id_parts: list = []
+    stop_tag_tables: list = []
     stop_sorted = (
         np.sort(np.asarray(stop_ids, dtype=np.int64)) if stop_ids is not None else None
     )
@@ -190,16 +215,16 @@ def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -
             pos_c = np.minimum(pos, len(stop_sorted) - 1)
             hit = stop_sorted[pos_c] == ids
             if hit.any():
-                tag_col = b["tags"].combine_chunks()
-                for i in np.nonzero(hit)[0]:
-                    stop_tags[int(ids[i])] = tag_col[int(i)].as_py()
+                mask = pa.array(hit)
+                stop_id_parts.append(ids[hit])
+                stop_tag_tables.append(b["tags"].combine_chunks().filter(mask))
         elif stop_sorted is None:
-            tag_col = b["tags"].to_pylist()
-            for i, nid in enumerate(ids):
-                stop_tags[int(nid)] = tag_col[i]
+            stop_id_parts.append(ids)
+            stop_tag_tables.append(b["tags"].combine_chunks())
+    empty_tags = pa.array([], TAGS_T)
     if not id_parts:
         z = np.empty(0, np.int64)
-        return NodeIndex(z, z.astype(np.float64), z.astype(np.float64), stop_tags)
+        return NodeIndex(z, z.astype(np.float64), z.astype(np.float64), z, empty_tags)
     ids = np.concatenate(id_parts)
     lats = np.concatenate(lat_parts)
     lons = np.concatenate(lon_parts)
@@ -208,7 +233,22 @@ def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -
     # last-wins dedup (mod.rs:494)
     keep = np.ones(len(ids), dtype=bool)
     keep[:-1] = ids[:-1] != ids[1:]
-    return NodeIndex(ids[keep], lats[keep], lons[keep], stop_tags)
+    if stop_id_parts:
+        sids = np.concatenate(stop_id_parts)
+        stags = pa.concat_arrays(
+            [t if isinstance(t, pa.Array) else t.combine_chunks() for t in stop_tag_tables]
+        )
+        sorder = np.argsort(sids, kind="stable")
+        sids_sorted = sids[sorder]
+        skeep = np.ones(len(sids_sorted), dtype=bool)
+        skeep[:-1] = sids_sorted[:-1] != sids_sorted[1:]
+        final_idx = sorder[skeep]
+        stags = stags.take(pa.array(final_idx, pa.int64()))
+        sids_final = sids_sorted[skeep]
+    else:
+        sids_final = np.empty(0, np.int64)
+        stags = empty_tags
+    return NodeIndex(ids[keep], lats[keep], lons[keep], sids_final, stags)
 
 
 def collect_stop_ids(relations: rd.Dataset) -> np.ndarray:
@@ -221,18 +261,7 @@ def collect_stop_ids(relations: rd.Dataset) -> np.ndarray:
     return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
 
-_BROADCAST_CACHE: dict = {}
-
-
-def _cached_get(ref):
-    """ray.get memoized per worker process (numpy parts are plasma
-    zero-copy; the stop-tag dict would otherwise unpickle per task)."""
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    hit = _BROADCAST_CACHE.get(key)
-    if hit is None:
-        hit = ray.get(ref)
-        _BROADCAST_CACHE[key] = hit
-    return hit
+from ..util import cached_get as _cached_get
 
 
 class _BroadcastAssembler:
@@ -260,25 +289,49 @@ class _BroadcastAssembler:
             seqs.append(NodeSeq(ids, lats, lons))
         return seqs
 
+    def _resolve_stops_col(self, stop_ids_col: list) -> list:
+        """Bulk stop resolution for a whole batch (one arrow take, one
+        to_pylist), reassembled per relation by offsets."""
+        counts = np.array([len(s) for s in stop_ids_col], dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(s, dtype=np.int64) for s in stop_ids_col])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        ok, lats, lons, tags_list = self.nodes.stops_bulk(flat)
+        stops_col: list = []
+        pos = 0  # index into flat; found index advances only on hits
+        fi = 0
+        for c in counts:
+            stops = []
+            for j in range(pos, pos + int(c)):
+                if ok[j]:
+                    stops.append(
+                        {
+                            "id": int(flat[j]),
+                            "lat": float(lats[fi]),
+                            "lon": float(lons[fi]),
+                            "tags": tags_list[fi],
+                        }
+                    )
+                    fi += 1
+                # missing stop silently filtered (mod.rs:693)
+            stops_col.append(stops)
+            pos += int(c)
+        return stops_col
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_pylist()
         way_ids_col = batch["way_ids"].to_pylist()
         stop_ids_col = batch["stop_ids"].to_pylist()
-        geoms, codes, details, stops_col = [], [], [], []
-        for rid, way_ids, stop_ids in zip(ids, way_ids_col, stop_ids_col):
+        geoms, codes, details = [], [], []
+        for rid, way_ids in zip(ids, way_ids_col):
             seqs = self._resolve_seqs(way_ids)
             segments, status = flatten_relation(seqs, self.gap, self.closed)
             geoms.append(_geometry_value(segments))
             codes.append(status.code)
             details.append(status.detail)
-            if not self.as_area:
-                stops = []
-                for nid in stop_ids:
-                    hit = self.nodes.stop(nid)
-                    if hit is None:
-                        continue  # missing stop silently filtered (mod.rs:693)
-                    stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})
-                stops_col.append(stops)
+        stops_col = [] if self.as_area else self._resolve_stops_col(stop_ids_col)
         cols = {
             "id": batch["id"],
             "tags": batch["tags"],
@@ -531,9 +584,10 @@ def _assemble_shuffle(
     # unbounded partitions × 1 CPU each can deadlock a small session (all
     # CPUs held by idle aggregators, none left for the map tasks feeding
     # them). Fractional aggregator CPUs keep map tasks schedulable.
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    npart = num_partitions or max(2, min(64, cpus // 2))
-    agg_args = {"num_cpus": 0.25}
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    npart = num_partitions or join_partitions()
+    agg_args = JOIN_AGG_ARGS
     members = tables.relations.map_batches(_explode_members, batch_format="pyarrow")
     way_nodes = tables.ways.map_batches(_explode_way_refs, batch_format="pyarrow")
     joined_ways = members.join(
@@ -595,15 +649,32 @@ def _assemble_shuffle(
             cols["tags"] = pa.array(tags, TAGS_T)
             cols["info"] = pa.array(infos, TAGS_T)
             if not as_area:
+                stop_lists = [self.meta[r][2] for r in ids]
+                counts = np.array([len(s) for s in stop_lists], dtype=np.int64)
+                flat = (
+                    np.concatenate([np.asarray(s, dtype=np.int64) for s in stop_lists])
+                    if counts.sum()
+                    else np.empty(0, np.int64)
+                )
+                ok, lats, lons, tags_list = self.nodes.stops_bulk(flat)
                 stops_col = []
-                for r in ids:
+                pos = 0
+                fi = 0
+                for c in counts:
                     stops = []
-                    for nid in self.meta[r][2]:
-                        hit = self.nodes.stop(nid)
-                        if hit is None:
-                            continue  # missing stop silently filtered (mod.rs:693)
-                        stops.append({"id": nid, "lat": hit[0], "lon": hit[1], "tags": hit[2]})
+                    for j in range(pos, pos + int(c)):
+                        if ok[j]:
+                            stops.append(
+                                {
+                                    "id": int(flat[j]),
+                                    "lat": float(lats[fi]),
+                                    "lon": float(lons[fi]),
+                                    "tags": tags_list[fi],
+                                }
+                            )
+                            fi += 1
                     stops_col.append(stops)
+                    pos += int(c)
                 cols["stops"] = pa.array(stops_col, pa.list_(STOP_T))
             cols["geometry"] = geom
             cols["status_code"] = batch["status_code"]

@@ -41,8 +41,14 @@ from ..sources.extract import OsmPayloadExtractor, extract_batch
 from ..util import default_actor_concurrency
 
 
-def read_pages(path: str, validate: bool = True, **read_kwargs) -> rd.Dataset:
+def read_pages(
+    path: str, validate: bool = True, include_url: bool = False, **read_kwargs
+) -> rd.Dataset:
     """Read the pages corpus with column pruning (only what extraction needs).
+
+    ``validate=False`` skips the ``text`` column entirely (~40% of the
+    corpus bytes) — the byte-identical invariant is enforced by the test
+    suite and the correctness-gate queries, not by every production run.
 
     ``override_num_blocks`` defaults to 4× the CPU count: downstream
     map_batches parallelism equals the BLOCK count, and a small single-file
@@ -51,10 +57,14 @@ def read_pages(path: str, validate: bool = True, **read_kwargs) -> rd.Dataset:
     the default block sizing is already right — pass
     ``override_num_blocks=None`` through ``read_kwargs`` to disable.)
     """
-    columns = ["url", "html", "text"] if validate else ["url", "html"]
+    columns = ["html"]
+    if validate:
+        columns = ["url", "html", "text"]
+    elif include_url:
+        columns = ["url", "html"]
     if "override_num_blocks" not in read_kwargs:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        read_kwargs["override_num_blocks"] = 4 * cpus
+        read_kwargs["override_num_blocks"] = 2 * cpus
     if read_kwargs.get("override_num_blocks") is None:
         read_kwargs.pop("override_num_blocks")
     return rd.read_parquet(path, columns=columns, **read_kwargs)
@@ -259,7 +269,12 @@ def build_parser_tables(
     )
     # NOTE: relations are NOT deduped even when dedup=True — the reference
     # extends a Vec (duplicate relation ids appear twice, mod.rs:293)
-    relations = relations.materialize()  # small: filtered head table
+    # Coalesce: the filtered head table inherits the extraction stage's
+    # many near-empty blocks; downstream flatten parallelism only needs
+    # ~one block per CPU, and per-task overhead on hundreds of tiny blocks
+    # dominates otherwise.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    relations = relations.repartition(max(2, cpus)).materialize()
 
     # broadcast side 1: member way ids (+ stop ids for the node pass)
     way_id_arr = _flatten_list_column(relations, "way_ids")

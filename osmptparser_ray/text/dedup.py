@@ -117,12 +117,8 @@ def minhash_signatures(
                 }
             )
 
-    from ..util import default_actor_concurrency
-
     return ds.map_batches(
-        Signer,
-        batch_format="pyarrow",
-        concurrency=default_actor_concurrency(),
+        lambda t, _cls=Signer: _cls()(t), batch_format="pyarrow"
     )
 
 
@@ -177,13 +173,14 @@ def lsh_candidate_pairs(
         ),
         batch_format="pyarrow",
     )
-    cpus = int(ray.cluster_resources().get("CPU", 4))
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
     joined = left.join(
         right,
         join_type="inner",
-        num_partitions=max(2, min(64, cpus // 2)),
+        num_partitions=join_partitions(),
         on=("band", "band_hash"),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
     )
     return joined.map_batches(
         lambda t: t.filter(pa.compute.less(t["doc_a"], t["doc_b"])).select(
@@ -218,7 +215,9 @@ def verify_jaccard(
 
     class Verify:
         def __init__(self):
-            self.texts = ray.get(texts_ref)
+            from ..util import cached_get
+
+            self.texts = cached_get(texts_ref)
             self._cache: dict[int, np.ndarray] = {}
 
         def _sh(self, doc_id: int) -> np.ndarray:
@@ -243,10 +242,8 @@ def verify_jaccard(
 
     from ray.data.aggregate import Max
 
-    from ..util import default_actor_concurrency
-
     verified = pairs.map_batches(
-        Verify, batch_format="pyarrow", concurrency=default_actor_concurrency()
+        lambda t, _cls=Verify: _cls()(t), batch_format="pyarrow"
     )
     # dedup pairs surfaced by several LSH bands (vectorized aggregate, not a
     # per-group UDF); jaccard is identical across duplicates so Max is a
@@ -343,13 +340,14 @@ def simhash_near_pairs(
         ),
         batch_format="pyarrow",
     )
-    cpus = int(ray.cluster_resources().get("CPU", 4))
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
     joined = left.join(
         right,
         join_type="inner",
-        num_partitions=max(2, min(64, cpus // 2)),
+        num_partitions=join_partitions(),
         on=("chunk", "chunk_val"),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
     )
 
     def hamming_filter(t: pa.Table) -> pa.Table:
@@ -388,9 +386,10 @@ def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
     import ray
     from ray.data.aggregate import Min
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    npart = max(2, min(64, cpus // 2))
-    agg_args = {"num_cpus": 0.25}
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    npart = join_partitions()
+    agg_args = JOIN_AGG_ARGS
 
     def edges_both(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False)

@@ -612,6 +612,27 @@ def _q_checkpoint_resume(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    """Session windows over the events stream (30-min gap)."""
+    from osmptparser_ray.streams import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    # carry a value-free projection; sessionize needs event_id for ordering
+    out = sessionize(ev, gap_seconds=1800.0)
+    return out.select_columns(["user_id", "session_id", "n_events", "start_us", "end_us"])
+
+
+def _q_parser_summary(sf_dir: str):
+    """Per-relation way/stop/node counts (reference Debug impl,
+    mod.rs:745-770) over the fixture — golden VALUES oracle."""
+    from osmptparser_ray.pipelines.parser_api import parser_summary
+    from osmptparser_ray.pipelines.ptv2 import parser_tables_from_pages
+    from osmptparser_ray.kernel.filters import PTV2
+
+    tables = parser_tables_from_pages(_fixture_pages(1), PTV2)
+    return parser_summary(tables)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ptv2_fixture": _q_ptv2_fixture,
@@ -639,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_vector": _q_raster_vector,
         "multimodal_image": _q_multimodal_image,
         "checkpoint_resume": _q_checkpoint_resume,
+        "sessionize": _q_sessionize,
+        "parser_summary": _q_parser_summary,
     }
 
 
@@ -748,6 +771,25 @@ def oracle_sql() -> dict[str, str]:
             "t.vec_id ASC) AS rank "
             "FROM embeddings q CROSS JOIN embeddings t WHERE q.vec_id < 5) "
             "WHERE rank <= 5"
+        ),
+        "sessionize": (
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(us) AS start_us, max(us) AS end_us FROM ("
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            "SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM events))"
+            " GROUP BY user_id, session_id"
+        ),
+        "parser_summary": (
+            "SELECT * FROM (VALUES "
+            "(85965, 'Trolebus Quitumbe => La Y', 106, 31, 575), "
+            "(2030162, 'B6 Mapasingue Oeste Ida', 20, 1, 109)"
+            ") AS t(id, name, n_ways, n_stops, n_nodes)"
         ),
         "cell_assign": (
             "SELECT point_id, "

@@ -91,11 +91,9 @@ def _points_rows(
         {
             "cell": pa.array(cells, pa.uint64()),
             "salt": pa.array(_salt_of(ids, salt), pa.uint64()),
-            "kind": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
             "pid": pa.array(ids, pa.int64()),
             "lat": pa.array(lats, pa.float64()),
             "lon": pa.array(lons, pa.float64()),
-            "blob": pa.array([None] * len(ids), pa.binary()),
         }
     )
 
@@ -120,15 +118,11 @@ def _poly_rows(
                 salts_out.append(s)
                 ids_out.append(pid)
                 blobs.append(blob)
-    n = len(ids_out)
     return pa.table(
         {
             "cell": pa.array(np.asarray(cells_out, dtype=np.uint64), pa.uint64()),
             "salt": pa.array(np.asarray(salts_out, dtype=np.uint64), pa.uint64()),
-            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
-            "pid": pa.array(ids_out, pa.int64()),
-            "lat": pa.array([None] * n, pa.float64()),
-            "lon": pa.array([None] * n, pa.float64()),
+            "gid": pa.array(ids_out, pa.int64()),
             "blob": pa.array(blobs, pa.binary()),
         }
     )
@@ -204,21 +198,10 @@ def pip_join(
         partial(_points_rows, level=level, salt=salt, id_col=point_id,
                 lat_col=lat_col, lon_col=lon_col),
         batch_format="pyarrow",
-    ).map_batches(
-        lambda t: pa.table(
-            {"cell": t["cell"], "salt": t["salt"], "pid": t["pid"],
-             "lat": t["lat"], "lon": t["lon"]}
-        ),
-        batch_format="pyarrow",
     )
     grows = polygons.map_batches(
         partial(_poly_rows, level=level, salt=salt, id_col=poly_id,
                 ring_lat_col=ring_lat_col, ring_lon_col=ring_lon_col),
-        batch_format="pyarrow",
-    ).map_batches(
-        lambda t: pa.table(
-            {"cell": t["cell"], "salt": t["salt"], "gid": t["pid"], "blob": t["blob"]}
-        ),
         batch_format="pyarrow",
     )
     from ..util import join_partitions

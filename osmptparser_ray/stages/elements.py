@@ -100,19 +100,6 @@ def extract_elements(
     )
 
 
-def _collect_int64(ds: rd.Dataset, column: str) -> np.ndarray:
-    """Collect ONE int64 column to the driver (small side: ids only)."""
-    parts = [
-        b[column].to_numpy(zero_copy_only=False)
-        for b in ds.select_columns([column]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        )
-    ]
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts).astype(np.int64))
-
-
 def _project_relations(batch: pa.Table, filters: str) -> pa.Table:
     """kind=relation rows → RelationData projection (F5/F7/F8) with DSL
     filter (F1). Stateless task fn — TagFilter compile is trivial."""

@@ -633,6 +633,39 @@ def _q_parser_summary(sf_dir: str):
     return parser_summary(tables)
 
 
+def _q_admin_areas(sf_dir: str):
+    """Relation-type areas ('r', closed rings): closable ring → 102 with the
+    closing point appended; broken ring → 501 with empty-ring geometry
+    (reference relation.rs:286-299 status merge). Golden VALUES oracle."""
+    import tempfile
+
+    from osmptparser_ray.kernel.filters import AA
+    from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+    from osmptparser_ray.sources.pages import synthesize_admin_pages_parquet
+
+    p = os.path.join(tempfile.gettempdir(), "osmray_admin_pages.parquet")
+    if not os.path.exists(p):
+        synthesize_admin_pages_parquet(p)
+    ds = areas_from_pages(p, gap=150.0, filters=AA)
+
+    def project(batch: pa.Table) -> pa.Table:
+        from osmptparser_ray.kernel.filters import get_tag_values
+
+        names = get_tag_values(batch, "name", "tags")
+        n_pts = [sum(len(r) for r in g) for g in batch["geometry"].to_pylist()]
+        return pa.table(
+            {
+                "id": batch["id"],
+                "id_type": batch["id_type"],
+                "name": pa.array(names.tolist(), pa.string()),
+                "status_code": batch["status_code"],
+                "n_ring_points": pa.array(n_pts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ptv2_fixture": _q_ptv2_fixture,
@@ -662,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "sessionize": _q_sessionize,
         "parser_summary": _q_parser_summary,
+        "admin_areas": _q_admin_areas,
     }
 
 
@@ -784,6 +818,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS is_new "
             "FROM events))"
             " GROUP BY user_id, session_id"
+        ),
+        "admin_areas": (
+            "SELECT * FROM (VALUES "
+            "(9000, 'r', 'Distrito A', 102, 5), "
+            "(9001, 'r', 'Distrito B', 501, 0)"
+            ") AS t(id, id_type, name, status_code, n_ring_points)"
         ),
         "parser_summary": (
             "SELECT * FROM (VALUES "

@@ -193,3 +193,59 @@ def synthesize_pages_parquet(
             shard, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
         )
     return path
+
+
+def synthesize_admin_pages_parquet(path: str) -> str:
+    """Tiny deterministic admin-boundary corpus: one closable-ring relation
+    (status 102 at gap 150) and one broken one (501) — exercises the
+    relation-area ('r') closed-ring path end-to-end."""
+    from .osmxml import elements_to_xml
+
+    nodes = [
+        {"id": 1, "lat": 0.0, "lon": 0.0, "tags": {}, "info": {}},
+        {"id": 2, "lat": 0.0, "lon": 0.01, "tags": {}, "info": {}},
+        {"id": 3, "lat": 0.01, "lon": 0.01, "tags": {}, "info": {}},
+        {"id": 4, "lat": 0.001, "lon": 0.0, "tags": {}, "info": {}},  # ~111m gap
+        {"id": 11, "lat": 5.0, "lon": 5.0, "tags": {}, "info": {}},
+        {"id": 12, "lat": 5.0, "lon": 5.01, "tags": {}, "info": {}},
+        {"id": 13, "lat": 5.5, "lon": 5.5, "tags": {}, "info": {}},
+    ]
+    ways = [
+        {"id": 100, "node_refs": [1, 2, 3], "tags": {}, "info": {}},
+        {"id": 101, "node_refs": [3, 4], "tags": {}, "info": {}},
+        {"id": 110, "node_refs": [11, 12], "tags": {}, "info": {}},
+        {"id": 111, "node_refs": [12, 13], "tags": {}, "info": {}},
+    ]
+    relations = [
+        {
+            "id": 9000,
+            "tags": {"name": "Distrito A", "admin_level": "8", "boundary": "administrative"},
+            "info": {"version": "3"},
+            "members": [
+                {"role": "outer", "ref": 100, "mtype": 1},
+                {"role": "outer", "ref": 101, "mtype": 1},
+            ],
+        },
+        {
+            "id": 9001,
+            "tags": {"name": "Distrito B", "admin_level": "8", "boundary": "administrative"},
+            "info": {},
+            "members": [
+                {"role": "outer", "ref": 110, "mtype": 1},
+                {"role": "outer", "ref": 111, "mtype": 1},
+            ],
+        },
+    ]
+    payload = elements_to_xml(nodes, ways, relations)
+    html = f"<html><body>{PAYLOAD_OPEN}{payload}{PAYLOAD_CLOSE}</body></html>".encode()
+    t = pa.table(
+        {
+            "url": pa.array(["https://osm.example/aa0"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([html], pa.binary()),
+            "text": pa.array([payload], pa.string()),
+            "lang": pa.array(["es"], pa.string()),
+        }
+    )
+    pq.write_table(t, path)
+    return path

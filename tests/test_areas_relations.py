@@ -1,0 +1,77 @@
+"""Relation-type areas ('r' rows): admin-boundary relations through the
+closed-ring pipeline, plus the elements-parquet resume path."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osmptparser_ray.sources.pages import synthesize_admin_pages_parquet as _admin_pages_parquet
+
+
+class TestRelationAreas:
+    @pytest.fixture(scope="class")
+    def areas(self, ray_session, tmp_path_factory):
+        from osmptparser_ray.kernel.filters import AA
+        from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+
+        p = str(tmp_path_factory.mktemp("aa") / "pages.parquet")
+        _admin_pages_parquet(p)
+        return {
+            r["id"]: r
+            for r in areas_from_pages(p, gap=150.0, filters=AA).take_all()
+        }
+
+    def test_closable_ring_closed(self, areas):
+        a = areas[9000]
+        assert a["id_type"] == "r"
+        # ways merge by shared id 3 (status 0), ring closed within 150m → 102
+        assert a["status_code"] == 102
+        ring = a["geometry"][0]
+        assert ring[0] == ring[-1]  # closing point appended
+        assert len(ring) == 5  # nodes 1,2,3,4 + repeat of 1
+        assert dict(a["tags"])["admin_level"] == "8"
+        assert dict(a["info"])["version"] == "3"
+
+    def test_broken_ring(self, areas):
+        b = areas[9001]
+        # ways merge by id 12 → one segment; endpoints ~75km apart → 501,
+        # and the empty ring is still pushed (relation.rs:297) → [[]]
+        assert b["status_code"] == 501
+        assert all(len(ring) == 0 for ring in b["geometry"])
+
+    def test_cli_parity_drops_both(self, ray_session, tmp_path):
+        from osmptparser_ray.kernel.filters import AA
+        from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+
+        p = str(tmp_path / "pages.parquet")
+        _admin_pages_parquet(p)
+        rows = areas_from_pages(p, gap=150.0, filters=AA, cli_parity=True).take_all()
+        # CLI keeps only status==0 — the 102 ring and the broken one both drop
+        assert rows == []
+
+
+class TestElementsParquetPath:
+    def test_pipeline_from_ingested_elements(self, ray_session, tmp_path):
+        """ingest to parquet → read back → same integration goldens
+        (the at-scale checkpoint path, build_parser_tables(materialize=False))."""
+        import ray.data as rd
+
+        from osmptparser_ray.kernel.filters import PTV2
+        from osmptparser_ray.pipelines.ingest import resumable_ingest
+        from osmptparser_ray.sources import synthesize_pages_parquet
+        from osmptparser_ray.stages.assemble import get_public_transports
+        from osmptparser_ray.stages.elements import build_parser_tables
+
+        pages = str(tmp_path / "pages")
+        synthesize_pages_parquet(pages, replicas=1, files=4)
+        elements_dir = str(tmp_path / "elements")
+        resumable_ingest(pages, elements_dir, shards_per_partition=2)
+
+        elements = rd.read_parquet(elements_dir)
+        tables = build_parser_tables(elements, PTV2, materialize=True)
+        rows = sorted(
+            get_public_transports(tables, 1500.0).take_all(), key=lambda r: r["id"]
+        )
+        assert [r["id"] for r in rows] == [85965, 2030162]
+        assert rows[0]["status_code"] == 501 and len(rows[0]["stops"]) == 31
+        assert rows[1]["status_code"] == 0 and len(rows[1]["geometry"][0]) == 90

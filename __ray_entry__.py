@@ -728,7 +728,10 @@ def oracle_sql() -> dict[str, str]:
         # (tests/integration_test.rs:9-18) + transliteration-verified
         # geometry counts (FIXTURES.md §2)
         "ptv2_fixture": (
-            "SELECT * FROM (VALUES "
+            "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
+            "CAST(n_stops AS BIGINT) AS n_stops, "
+            "CAST(status_code AS BIGINT) AS status_code, "
+            "CAST(n_geom_points AS BIGINT) AS n_geom_points FROM (VALUES "
             "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
             "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
             ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
@@ -807,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 5"
         ),
         "sessionize": (
-            "SELECT user_id, session_id, count(*) AS n_events, "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, "
             "min(us) AS start_us, max(us) AS end_us FROM ("
             "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
             "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -820,13 +823,17 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY user_id, session_id"
         ),
         "admin_areas": (
-            "SELECT * FROM (VALUES "
+            "SELECT CAST(id AS BIGINT) AS id, id_type, name, "
+            "CAST(status_code AS BIGINT) AS status_code, "
+            "CAST(n_ring_points AS BIGINT) AS n_ring_points FROM (VALUES "
             "(9000, 'r', 'Distrito A', 102, 5), "
             "(9001, 'r', 'Distrito B', 501, 0)"
             ") AS t(id, id_type, name, status_code, n_ring_points)"
         ),
         "parser_summary": (
-            "SELECT * FROM (VALUES "
+            "SELECT CAST(id AS BIGINT) AS id, name, "
+            "CAST(n_ways AS BIGINT) AS n_ways, CAST(n_stops AS BIGINT) AS n_stops, "
+            "CAST(n_nodes AS BIGINT) AS n_nodes FROM (VALUES "
             "(85965, 'Trolebus Quitumbe => La Y', 106, 31, 575), "
             "(2030162, 'B6 Mapasingue Oeste Ida', 20, 1, 109)"
             ") AS t(id, name, n_ways, n_stops, n_nodes)"
@@ -840,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect": (
             f"WITH pts AS ({points_cte}), "
             f"rects(poly_id, lat0, lat1, lon0, lon1) AS (VALUES {rects_values}) "
-            "SELECT p.point_id AS point_id, r.poly_id AS poly_id FROM pts p "
+            "SELECT p.point_id AS point_id, CAST(r.poly_id AS BIGINT) AS poly_id FROM pts p "
             "JOIN rects r ON p.lat > r.lat0 AND p.lat < r.lat1 "
             "AND p.lon > r.lon0 AND p.lon < r.lon1"
         ),

@@ -40,6 +40,10 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     if sorted(mine.columns) != sorted(oracle.columns):
         problems.append(f"columns {sorted(mine.columns)} vs {sorted(oracle.columns)}")
         return problems
+    for c in mine.columns:
+        a, b = mine[c].dtype, oracle[c].dtype
+        if str(a) != str(b):
+            problems.append(f"dtype {c}: {a} vs {b}")
     if len(mine) != len(oracle):
         problems.append(f"rows {len(mine)} vs {len(oracle)}")
     a, b = canon(mine), canon(oracle)

@@ -56,13 +56,24 @@ def extract_batch(batch: pa.Table, include_url: bool = False, validate: bool = T
 
 
 class OsmPayloadExtractor:
-    """pages batch → unified element rows (+ provenance url)."""
+    """pages batch → unified element rows (+ provenance url).
 
-    def __init__(self, include_url: bool = False, validate: bool = True):
+    ``on_error``: "raise" (default — a malformed payload or violated
+    extraction invariant aborts the job loudly) or "skip" (count and drop
+    the page; at web scale a corrupt page must not kill a 10^12-row job).
+    Skipped-page counts are exposed per batch via the ``n_skipped``
+    attribute (cumulative per worker).
+    """
+
+    def __init__(
+        self, include_url: bool = False, validate: bool = True, on_error: str = "raise"
+    ):
         # compiled once per actor
         self.payload_re = _PAYLOAD_RE
         self.include_url = include_url
         self.validate = validate
+        self.on_error = on_error
+        self.n_skipped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch["html"].to_pylist()
@@ -75,14 +86,20 @@ class OsmPayloadExtractor:
         cols = empty_columns()
         page_urls: list[str] = []
         for i, html in enumerate(htmls):
-            m = self.payload_re.search(html)
-            payload = m.group(1).decode("utf-8") if m else ""
-            if texts is not None and payload != texts[i]:
-                raise ValueError(
-                    f"extraction invariant violated for url={urls[i]!r}: "
-                    f"extracted text differs from the text column"
-                )
-            n = parse_osm_payload(payload, cols)
+            try:
+                m = self.payload_re.search(html)
+                payload = m.group(1).decode("utf-8") if m else ""
+                if texts is not None and payload != texts[i]:
+                    raise ValueError(
+                        f"extraction invariant violated for url={urls[i]!r}: "
+                        f"extracted text differs from the text column"
+                    )
+                n = parse_osm_payload(payload, cols)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                self.n_skipped += 1
+                continue
             if self.include_url:
                 page_urls.extend([urls[i]] * n)
         table = columns_to_table(cols)

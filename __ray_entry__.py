@@ -474,6 +474,23 @@ def _q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN with full probing (n_probe == n_lists) — must equal the
+    brute-force cosine oracle exactly, proving the quantizer/probe/refine
+    machinery loses nothing when fully probed."""
+    import pyarrow.parquet as pq
+
+    from osmptparser_ray.embed.ann import ivf_ann
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_ann(vectors, q, qids, k=5, n_lists=8, n_probe=8)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _q_cosine_near_dup(sf_dir: str):
     from osmptparser_ray.embed.ann import cosine_near_dup
 
@@ -686,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "cosine_near_dup": _q_cosine_near_dup,
         "cell_assign": _q_cell_assign,
         "pip_rect": _q_pip_rect,
@@ -837,6 +855,15 @@ def oracle_sql() -> dict[str, str]:
             "(85965, 'Trolebus Quitumbe => La Y', 106, 31, 575), "
             "(2030162, 'B6 Mapasingue Oeste Ida', 20, 1, 109)"
             ") AS t(id, name, n_ways, n_stops, n_nodes)"
+        ),
+        "ann_ivf_topk": (
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.vec_id AS query_id, t.vec_id AS vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, "
+            "t.vec_id ASC) AS rank "
+            "FROM embeddings q CROSS JOIN embeddings t WHERE q.vec_id < 5) "
+            "WHERE rank <= 5"
         ),
         "cell_assign": (
             "SELECT point_id, "

@@ -1,3 +1,3 @@
-from .ann import cosine_near_dup, knn_bruteforce, lsh_ann
+from .ann import cosine_near_dup, ivf_ann, ivf_build, knn_bruteforce, lsh_ann
 
-__all__ = ["cosine_near_dup", "knn_bruteforce", "lsh_ann"]
+__all__ = ["cosine_near_dup", "ivf_ann", "ivf_build", "knn_bruteforce", "lsh_ann"]

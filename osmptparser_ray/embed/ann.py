@@ -225,3 +225,121 @@ def cosine_near_dup(
         .map_groups(refine, batch_format="pandas")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed refine
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(sample: np.ndarray, n_lists: int, n_iter: int = 10) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed, spherical): → (n_lists, d)
+    centroids. Runs on a driver-side SAMPLE — the classic IVF train step."""
+    rng = np.random.default_rng(11)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(n_iter):
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_build(
+    vectors: rd.Dataset,
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns (centroids ray.ObjectRef, assigned Dataset with a ``list_id``
+    column). Training samples the head of the stream (deterministic);
+    assignment is one vectorized pass.
+    """
+    sample_rows = vectors.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cents = _kmeans_fit(sample, n_lists)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        c = cached_get(cents_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        lists = (
+            np.argmax(m @ c.T, axis=1).astype(np.int32)
+            if m.size
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+
+    return cents_ref, vectors.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_ann(
+    vectors: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF approximate cosine top-k: probe the ``n_probe`` nearest lists per
+    query, exact-refine within them. Output schema matches knn_bruteforce;
+    recall grows with n_probe (n_probe == n_lists ⇒ exact)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    cents_ref, assigned = ivf_build(vectors, n_lists, id_col=id_col, vec_col=vec_col)
+    cents = ray.get(cents_ref)
+    nprobe = min(n_probe, len(cents))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, n_probe)
+    probe_ref = ray.put((q, qids, probes))
+
+    def refine(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        q_, qids_, probes_ = cached_get(probe_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        if m.size:
+            for qi in range(len(q_)):
+                mask = np.isin(lists, probes_[qi])
+                if not mask.any():
+                    continue
+                scores = m[mask] @ q_[qi]
+                cand = ids[mask]
+                kk = min(k, len(scores))
+                top = np.argpartition(-scores, kk - 1)[:kk]
+                out_q.extend([qids_[qi]] * kk)
+                out_v.extend(cand[top].tolist())
+                out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(refine, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

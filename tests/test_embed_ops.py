@@ -114,3 +114,29 @@ class TestCosineNearDup:
                     assert (i, j) in got
         for i, j in got:
             assert sims[i, j] >= 0.95
+
+
+class TestIvfAnn:
+    def test_full_probe_equals_bruteforce(self, vectors):
+        """n_probe == n_lists ⇒ every list probed ⇒ exact top-k."""
+        from osmptparser_ray.embed.ann import ivf_ann, knn_bruteforce
+
+        ds, m, ids = vectors
+        q, qids = m[:3], ids[:3]
+        exact = {(r["query_id"], r["rank"], r["vec_id"])
+                 for r in knn_bruteforce(ds, q, qids, k=5).take_all()}
+        full = {(r["query_id"], r["rank"], r["vec_id"])
+                for r in ivf_ann(ds, q, qids, k=5, n_lists=8, n_probe=8).take_all()}
+        assert full == exact
+
+    def test_probe_recall(self, vectors):
+        """Partial probing: top-1 recall should be high (self-vector is in
+        the probed list by construction of the quantizer)."""
+        from osmptparser_ray.embed.ann import ivf_ann
+
+        ds, m, ids = vectors
+        q, qids = m[:10], ids[:10]
+        out = ivf_ann(ds, q, qids, k=1, n_lists=8, n_probe=2).take_all()
+        rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+        hits = sum(1 for qid in qids if rank1.get(qid) == qid)
+        assert hits >= 8  # ≥80% top-1 self-recall with 2/8 probes

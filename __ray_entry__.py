@@ -398,6 +398,17 @@ def _q_fingerprint(sf_dir: str):
     return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_quality_filter(sf_dir: str):
+    """Quality gate: docs with ≥ 40 tokens, punct density ≤ 0.05, ≥ 1
+    stopword hit — returns surviving doc ids."""
+    from osmptparser_ray.text.analysis import quality_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_filter(
+        ds, min_tokens=40, max_punct_ratio=0.05, min_stop_hits=1
+    ).select_columns(["doc_id"])
+
+
 def _q_exact_dedup(sf_dir: str):
     from osmptparser_ray.text.dedup import exact_dedup
 
@@ -699,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_langid,
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
+        "quality_filter": _q_quality_filter,
         "duplicate_groups": _q_duplicate_groups,
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -808,6 +820,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
             " AS fingerprint FROM documents"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents WHERE "
+            "len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 40 "
+            "AND CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) / "
+            "greatest(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1) <= 0.05 "
+            f"AND len(regexp_extract_all(text, '{_STOP_RE_EN}')) + "
+            f"len(regexp_extract_all(text, '{_STOP_RE_ES}')) >= 1"
         ),
         "exact_dedup": (
             "SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, "

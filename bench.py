@@ -8,7 +8,7 @@ plus operator benches over the $GRAFT_SF_DIR tables (default sf0.1).
 Env:
     GRAFT_SF_DIR      table dir (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS    num_cpus for ray.init (default 32)
-    GRAFT_REPLICAS    page-corpus replicas (default 300)
+    GRAFT_REPLICAS    page-corpus replicas (default 2000)
 """
 
 from __future__ import annotations
@@ -118,7 +118,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicas = int(os.environ.get("GRAFT_REPLICAS", "300"))
+    replicas = int(os.environ.get("GRAFT_REPLICAS", "2000"))
 
     if "--scaling" in sys.argv:
         # Fresh processes at N and 4N CPUs on the SAME input — the sandbox

@@ -1,5 +1,7 @@
 from .analysis import (
     add_fingerprint,
+    add_rolling_fingerprints,
+    quality_filter,
     add_lang_id,
     add_quality_scores,
     add_token_count,
@@ -16,6 +18,8 @@ from .dedup import (
 
 __all__ = [
     "add_fingerprint",
+    "add_rolling_fingerprints",
+    "quality_filter",
     "add_lang_id",
     "add_quality_scores",
     "add_token_count",

@@ -111,3 +111,85 @@ def add_fingerprint(ds: rd.Dataset, col: str = "text", out: str = "fingerprint")
         return batch.append_column(out, pa.array(digests, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_rolling_fingerprints(
+    ds: rd.Dataset,
+    col: str = "text",
+    k: int = 5,
+    window: int = 8,
+    out: str = "fingerprints",
+) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer et al. local algorithm):
+    k-gram rolling hashes → per-window minima → the document's selected
+    fingerprint set (list<uint64>, sorted unique).
+
+    Guarantees: any shared substring of length ≥ window+k-1 between two
+    documents yields at least one shared fingerprint. Fully vectorized
+    (sliding-window hash + stride-tricks window minima).
+    """
+    import numpy as np
+
+    def f(batch: pa.Table) -> pa.Table:
+        outs = []
+        for text in batch[col].to_pylist():
+            t = text.lower().encode("utf-8")
+            if len(t) < k:
+                t = t + b" " * (k - len(t))
+            arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(arr, k)
+            powers = np.empty(k, dtype=np.uint64)
+            powers[0] = 1
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * np.uint64(1099511628211)
+            h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            if len(h) <= window:
+                sel = h.min(keepdims=True) if len(h) else h
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = wins.min(axis=1)
+            outs.append(np.unique(sel).tolist())
+        return batch.append_column(out, pa.array(outs, pa.list_(pa.uint64())))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_filter(
+    ds: rd.Dataset,
+    col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_stop_hits: int = 0,
+) -> rd.Dataset:
+    """Document quality gate (Gopher-rule-style): keep documents with at
+    least ``min_tokens`` tokens, punctuation density ≤ ``max_punct_ratio``
+    (punct per token), and ≥ ``min_stop_hits`` stopword occurrences (en+es).
+    Pure pyarrow kernels — identical semantics SQL-expressible.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch[col]
+        tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+        stops = pc.add(
+            pc.count_substring_regex(text, _word_alt_re(EN_STOPWORDS)),
+            pc.count_substring_regex(text, _word_alt_re(ES_STOPWORDS)),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(tokens, min_tokens),
+                pc.less_equal(
+                    pc.divide(
+                        pc.cast(punct, pa.float64()),
+                        pc.cast(pc.max_element_wise(tokens, 1), pa.float64()),
+                    ),
+                    max_punct_ratio,
+                ),
+            ),
+            pc.greater_equal(pc.cast(stops, pa.int64()), min_stop_hits),
+        )
+        return batch.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -180,3 +180,51 @@ class TestDuplicateGroups:
         )
         got = {r["doc_id"]: r["rep_id"] for r in duplicate_groups(pairs).take_all()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, ray_session):
+        """Winnowing guarantee: documents sharing a substring of length
+        ≥ window+k-1 share at least one fingerprint."""
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import add_rolling_fingerprints
+
+        shared = "the quick brown fox jumps over everything here"
+        docs = [
+            {"doc_id": 1, "text": "AAAA " + shared + " BBBB"},
+            {"doc_id": 2, "text": "cccc dddd " + shared + " eeee"},
+            {"doc_id": 3, "text": "completely unrelated content zzz qqq www"},
+        ]
+        out = add_rolling_fingerprints(rd.from_items(docs), k=5, window=8).take_all()
+        fps = {r["doc_id"]: set(r["fingerprints"]) for r in out}
+        assert fps[1] & fps[2], "shared substring must yield shared fingerprints"
+        assert len(fps[1] & fps[3]) <= len(fps[1]) // 3  # mostly disjoint
+
+    def test_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import add_rolling_fingerprints
+
+        docs = [{"doc_id": 1, "text": "some stable text for hashing"}]
+        a = add_rolling_fingerprints(rd.from_items(docs)).take_all()[0]["fingerprints"]
+        b = add_rolling_fingerprints(rd.from_items(docs)).take_all()[0]["fingerprints"]
+        assert a == b and len(a) > 0
+
+
+class TestQualityFilter:
+    def test_thresholds(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import quality_filter
+
+        docs = [
+            {"doc_id": 1, "text": "the quick brown fox and the lazy dog again " * 3},
+            {"doc_id": 2, "text": "short"},
+            {"doc_id": 3, "text": "!!! ??? ... " * 20},  # punct-dense, no tokens... 
+            {"doc_id": 4, "text": "word " * 50},  # no stopwords
+        ]
+        out = quality_filter(
+            rd.from_items(docs), min_tokens=10, max_punct_ratio=0.1, min_stop_hits=1
+        ).take_all()
+        assert [r["doc_id"] for r in out] == [1]

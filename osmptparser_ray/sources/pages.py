@@ -6,7 +6,7 @@ Input-table shape per BASELINE.json input_hint:
 Each page's ``text`` is an OSM XML payload (possibly empty); ``html`` is a
 page template with the payload embedded in a marked <script> block. The
 extraction contract: ``extract.extract_text(html) == text`` BYTE-IDENTICAL
-for every url (tested in tests/test_extract.py).
+for every url (tested in tests/test_pipeline_golden.py).
 
 ``replicas`` scales the corpus: replica r offsets every element id by
 r * 10^12 and shifts longitudes by a bounded deterministic offset, producing

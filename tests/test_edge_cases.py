@@ -1,0 +1,86 @@
+"""Edge cases: empty corpora, zero-match filters, payload-free pages."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osmptparser_ray.sources.pages import PAGES_SCHEMA
+
+
+def _empty_pages(path: str, with_rows: bool):
+    if with_rows:
+        t = pa.table(
+            {
+                "url": pa.array(["https://x/1", "https://x/2"], pa.string()),
+                "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+                "html": pa.array([b"<html>no payload</html>"] * 2, pa.binary()),
+                "text": pa.array(["", ""], pa.string()),
+                "lang": pa.array(["en", "es"], pa.string()),
+            }
+        )
+    else:
+        t = PAGES_SCHEMA.empty_table()
+    pq.write_table(t, path)
+    return path
+
+
+class TestEmptyInputs:
+    def test_no_payload_pages(self, ray_session, tmp_path):
+        from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+
+        p = _empty_pages(str(tmp_path / "p.parquet"), with_rows=True)
+        assert public_transports_from_pages(p, gap=150.0).count() == 0
+
+    def test_zero_row_corpus(self, ray_session, tmp_path):
+        from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+
+        p = _empty_pages(str(tmp_path / "p0.parquet"), with_rows=False)
+        assert areas_from_pages(p, gap=150.0, filters="highway").count() == 0
+
+    def test_filter_matches_nothing(self, ray_session, tmp_path):
+        from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+        from osmptparser_ray.sources import synthesize_pages_parquet
+
+        p = str(tmp_path / "fx.parquet")
+        synthesize_pages_parquet(p)
+        ds = public_transports_from_pages(p, gap=150.0, filters="nonexistent_tag")
+        assert ds.count() == 0
+
+    def test_empty_filter_string_selects_nothing(self, ray_session, tmp_path):
+        # "" → one empty-key conjunct → rejects everything (reference literal)
+        from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+        from osmptparser_ray.sources import synthesize_pages_parquet
+
+        p = str(tmp_path / "fx2.parquet")
+        synthesize_pages_parquet(p)
+        assert public_transports_from_pages(p, gap=150.0, filters="").count() == 0
+
+    def test_spatial_joins_on_empty(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import knn_join_broadcast, pip_join_broadcast
+
+        empty_pts = rd.from_arrow(
+            pa.table(
+                {
+                    "point_id": pa.array([], pa.int64()),
+                    "lat": pa.array([], pa.float64()),
+                    "lon": pa.array([], pa.float64()),
+                }
+            )
+        )
+        polys = rd.from_items(
+            [{"poly_id": 1, "ring_lats": [0.0, 0.0, 1.0], "ring_lons": [0.0, 1.0, 1.0]}]
+        )
+        assert pip_join_broadcast(empty_pts, polys).count() == 0
+        tgt = rd.from_arrow(
+            pa.table(
+                {
+                    "target_id": pa.array([1], pa.int64()),
+                    "lat": pa.array([0.0], pa.float64()),
+                    "lon": pa.array([0.0], pa.float64()),
+                }
+            )
+        )
+        assert knn_join_broadcast(empty_pts, tgt).count() == 0

@@ -640,6 +640,31 @@ def _q_checkpoint_resume(sf_dir: str):
     )
 
 
+def _q_topk_per_group(sf_dir: str):
+    """Top-3 documents per source by n_chars (ties by doc_id asc)."""
+    from osmptparser_ray.stages.relational import topk_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = topk_per_group(docs, "source", "n_chars", 3, tiebreak_col="doc_id")
+    return out.select_columns(["source", "rank", "doc_id", "n_chars"])
+
+
+def _q_broadcast_enrich(sf_dir: str):
+    """Map-side broadcast join: orders enriched with customer mktsegment →
+    counts per segment (no shuffle on the fact side until the tiny final
+    aggregate)."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return (
+        joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+    )
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows over the events stream (30-min gap)."""
     from osmptparser_ray.streams import sessionize
@@ -724,6 +749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image": _q_multimodal_image,
         "checkpoint_resume": _q_checkpoint_resume,
         "sessionize": _q_sessionize,
+        "topk_per_group": _q_topk_per_group,
+        "broadcast_enrich": _q_broadcast_enrich,
         "parser_summary": _q_parser_summary,
         "admin_areas": _q_admin_areas,
     }
@@ -846,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             "t.vec_id ASC) AS rank "
             "FROM embeddings q CROSS JOIN embeddings t WHERE q.vec_id < 5) "
             "WHERE rank <= 5"
+        ),
+        "topk_per_group": (
+            "SELECT source, rank, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank "
+            "FROM documents) WHERE rank <= 3"
+        ),
+        "broadcast_enrich": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "sessionize": (
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, "

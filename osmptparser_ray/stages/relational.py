@@ -1,0 +1,85 @@
+"""General relational operators (guide patterns as first-class functions).
+
+* ``topk_per_group`` — top-k rows per group key by a score column:
+  per-batch partial top-k (vectorized pandas sort/head — a combiner that
+  caps shuffle volume at k rows per group per batch) then a per-group
+  merge. The training-data staple "best k documents per domain".
+* ``broadcast_join`` — map-side dimension enrichment: the small side is
+  collected once, ``ray.put``, and merged into every batch with a pandas
+  hash merge — zero shuffle (guide §joins: "small side: broadcast it").
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..util import cached_get
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    score_col: str,
+    k: int,
+    *,
+    tiebreak_col: Optional[str] = None,
+    descending: bool = True,
+) -> rd.Dataset:
+    """Top-k rows per group by score (ties broken by ``tiebreak_col`` asc).
+
+    Output: input columns + ``rank`` (1-based within group).
+    """
+    sort_cols = [score_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [not descending] + ([True] if tiebreak_col else [])
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(sort_cols, ascending=asc, kind="stable")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=asc, kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: rd.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    *,
+    how: Literal["inner", "left"] = "inner",
+) -> rd.Dataset:
+    """Enrich ``ds`` with columns from a SMALL dimension table — no shuffle.
+
+    ``small`` is fully collected (must fit driver/worker memory — dimension
+    tables, vocabularies, blocklists) and merged per batch.
+    """
+    rkey = right_on or on
+    small_pd = small.to_pandas()
+    small_ref = ray.put(small_pd)
+
+    def enrich(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = cached_get(small_ref)
+        out = batch.merge(dim, left_on=on, right_on=rkey, how=how)
+        if rkey != on and rkey in out.columns:
+            out = out.drop(columns=[rkey])
+        return out
+
+    return ds.map_batches(enrich, batch_format="pandas")
+

@@ -417,10 +417,19 @@ def get_public_transports(
     if mode == "shuffle":
         return _assemble_shuffle(tables, gap, closed=False, as_area=False,
                                  num_partitions=num_partitions)
-    ways_ref = ray.put(build_way_index(tables.ways))
-    nodes_ref = ray.put(
-        build_node_index(tables.nodes, collect_stop_ids(tables.relations))
-    )
+    # build the two broadcast indexes concurrently — both are driver-side
+    # collections whose wall time would otherwise add up serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ways = pool.submit(lambda: ray.put(build_way_index(tables.ways)))
+        f_nodes = pool.submit(
+            lambda: ray.put(
+                build_node_index(tables.nodes, collect_stop_ids(tables.relations))
+            )
+        )
+        ways_ref = f_ways.result()
+        nodes_ref = f_nodes.result()
     return tables.relations.map_batches(
         partial(
             _assemble_task,

@@ -46,6 +46,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
 
     t0 = time.perf_counter()
     out = stop_route_spatial_join(pages, validate=False)
+    want_stats = "--stats" in sys.argv
     # the three join outputs are independent sinks — consume them
     # concurrently so their stages pipeline through the executor together
     from concurrent.futures import ThreadPoolExecutor
@@ -56,6 +57,13 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         f_tiles = pool.submit(out["tiles"].count)
         pip_rows, knn_rows, tile_rows = f_pip.result(), f_knn.result(), f_tiles.result()
     flagship_s = time.perf_counter() - t0
+    if want_stats:
+        # per-stage wall/cpu/memory breakdown of the three join branches —
+        # the feedback loop used to find stage bottlenecks (stderr only;
+        # stdout stays a single JSON line)
+        for name in ("pip", "knn", "tiles"):
+            print(f"===== stats: {name} =====", file=sys.stderr)
+            print(out[name].stats(), file=sys.stderr)
     queries["flagship_spatial_join"] = flagship_s
     join_rows = pip_rows + knn_rows + tile_rows
 

@@ -249,3 +249,32 @@ def synthesize_admin_pages_parquet(path: str) -> str:
     )
     pq.write_table(t, path)
     return path
+
+
+def synthesize_pages_jsonl(path: str, replicas: int = 1, seed: int = 42) -> str:
+    """Write the pages corpus as gzip-free JSONL shards (dir of .jsonl files)
+    — the other common crawl-dump layout; html is base64-encoded."""
+    import base64
+    import json
+    import os
+
+    table = synthesize_pages_table(replicas, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    rows = table.to_pylist()
+    per = max(1, (len(rows) + 3) // 4)
+    for i in range(0, len(rows), per):
+        with open(os.path.join(path, f"part-{i // per:05d}.jsonl"), "w") as f:
+            for r in rows[i : i + per]:
+                f.write(
+                    json.dumps(
+                        {
+                            "url": r["url"],
+                            "warc_ts": r["warc_ts"].isoformat(),
+                            "html_b64": base64.b64encode(r["html"]).decode(),
+                            "text": r["text"],
+                            "lang": r["lang"],
+                        }
+                    )
+                    + "\n"
+                )
+    return path

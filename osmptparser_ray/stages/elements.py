@@ -70,6 +70,26 @@ def read_pages(
     return rd.read_parquet(path, columns=columns, **read_kwargs)
 
 
+def read_pages_jsonl(path: str, validate: bool = True) -> rd.Dataset:
+    """Read a JSONL page corpus (url, warc_ts iso, html_b64, text, lang) and
+    decode to the standard pages schema — the alternate source format."""
+    ds = rd.read_json(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import base64
+
+        htmls = [base64.b64decode(h) for h in batch["html_b64"].to_pylist()]
+        cols = {
+            "url": batch["url"],
+            "html": pa.array(htmls, pa.binary()),
+        }
+        if validate and "text" in batch.column_names:
+            cols["text"] = batch["text"]
+        return pa.table(cols)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 def extract_elements(
     pages: rd.Dataset,
     *,

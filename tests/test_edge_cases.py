@@ -84,3 +84,25 @@ class TestEmptyInputs:
             )
         )
         assert knn_join_broadcast(empty_pts, tgt).count() == 0
+
+
+class TestJsonlSource:
+    def test_jsonl_corpus_same_goldens(self, ray_session, tmp_path):
+        from osmptparser_ray.kernel.filters import PTV2
+        from osmptparser_ray.sources.pages import synthesize_pages_jsonl
+        from osmptparser_ray.stages.assemble import get_public_transports
+        from osmptparser_ray.stages.elements import (
+            build_parser_tables,
+            extract_elements,
+            read_pages_jsonl,
+        )
+
+        p = str(tmp_path / "jsonl")
+        synthesize_pages_jsonl(p)
+        pages = read_pages_jsonl(p)
+        tables = build_parser_tables(extract_elements(pages), PTV2)
+        rows = sorted(
+            get_public_transports(tables, 1500.0).take_all(), key=lambda r: r["id"]
+        )
+        assert [r["id"] for r in rows] == [85965, 2030162]
+        assert rows[1]["status_code"] == 0 and len(rows[1]["geometry"][0]) == 90

@@ -570,6 +570,14 @@ def _q_spatial_knn(sf_dir: str):
     return out.select_columns(["point_id", "rank", "neighbor_id"])
 
 
+def _q_cell_density(sf_dir: str):
+    """Per-cell density + 3x3 smoothed density at level 12 (windowed raster
+    aggregate); correlated-subquery SQL oracle."""
+    from osmptparser_ray.spatial.join import cell_density_smoothed
+
+    return cell_density_smoothed(_customer_points(sf_dir), 12)
+
+
 def _q_raster_vector(sf_dir: str):
     """Tile cover of the fixture's OK route vs a tile pyramid level."""
     import ray.data as rd
@@ -746,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_rect": _q_pip_rect,
         "spatial_knn": _q_spatial_knn,
         "raster_vector": _q_raster_vector,
+        "cell_density": _q_cell_density,
         "multimodal_image": _q_multimodal_image,
         "checkpoint_resume": _q_checkpoint_resume,
         "sessionize": _q_sessionize,
@@ -928,6 +937,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(greatest(floor((lon + 180.0) / 360.0 * 4096), 0), 4095) AS BIGINT) AS cell_x, "
             "CAST(least(greatest(floor((lat + 90.0) / 180.0 * 4096), 0), 4095) AS BIGINT) AS cell_y "
             f"FROM ({points_cte})"
+        ),
+        "cell_density": (
+            "WITH pts AS (" +
+            f"SELECT {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon FROM customer" +
+            "), density AS ("
+            "SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 4096), 0), 4095) AS BIGINT) AS cell_x, "
+            "CAST(least(greatest(floor((lat + 90.0) / 180.0 * 4096), 0), 4095) AS BIGINT) AS cell_y, "
+            "count(*) AS n FROM pts GROUP BY 1, 2) "
+            "SELECT a.cell_x, a.cell_y, a.n, "
+            "CAST((SELECT sum(b.n) FROM density b WHERE abs(a.cell_x - b.cell_x) <= 1 "
+            "AND abs(a.cell_y - b.cell_y) <= 1) AS BIGINT) AS n_smoothed FROM density a"
         ),
         "pip_rect": (
             f"WITH pts AS ({points_cte}), "

@@ -638,3 +638,108 @@ def raster_vector_join(
         on=("cell",),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
+
+
+# ---------------------------------------------------------------------------
+# raster analytics: per-cell density + neighborhood smoothing
+# ---------------------------------------------------------------------------
+
+
+def cell_density_smoothed(
+    points: rd.Dataset,
+    level: int,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> rd.Dataset:
+    """Per-cell point density plus 3×3-neighborhood smoothed density — the
+    windowed-aggregate raster op.
+
+    Plan: vectorized (x, y) grid assignment → per-batch LOCAL counts
+    (combiner) → groupby-aggregate to exact per-cell counts → each cell's
+    count replicated to its 9 neighbors (plain ±1 grid arithmetic, no
+    longitude wrap — raster windows don't wrap) → neighborhood sum →
+    broadcast-join the (small) density table back to keep only non-empty
+    center cells.
+
+    Output: (cell_x, cell_y, n, n_smoothed), one row per non-empty cell.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import cached_get
+    from .cell import lonlat_to_xy
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        x, y = lonlat_to_xy(
+            batch[lat_col].to_numpy(zero_copy_only=False),
+            batch[lon_col].to_numpy(zero_copy_only=False),
+            level,
+        )
+        key = x * np.int64(1 << level) + y
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cell_x": pa.array(uniq // (1 << level), pa.int64()),
+                "cell_y": pa.array(uniq % (1 << level), pa.int64()),
+                "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    density = (
+        points.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["cell_x", "cell_y"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()  # small: one row per non-empty cell; reused twice
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        x = batch["cell_x"].to_numpy(zero_copy_only=False)
+        y = batch["cell_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        xs, ys, ns = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(x + dx)
+                ys.append(y + dy)
+                ns.append(n)
+        return pa.table(
+            {
+                "cell_x": pa.array(np.concatenate(xs), pa.int64()),
+                "cell_y": pa.array(np.concatenate(ys), pa.int64()),
+                "contrib": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    smoothed = (
+        density.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["cell_x", "cell_y"])
+        .aggregate(Sum("contrib", alias_name="n_smoothed"))
+    )
+
+    # keep only non-empty CENTER cells: broadcast the density table into a
+    # filter+join over the smoothed rows (density is the small side)
+    dens_rows = density.to_pandas()
+    dens_ref = ray.put(dens_rows.set_index(["cell_x", "cell_y"])["n"].to_dict())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dens = cached_get(dens_ref)
+        xs = batch["cell_x"].to_numpy(zero_copy_only=False)
+        ys = batch["cell_y"].to_numpy(zero_copy_only=False)
+        sm = batch["n_smoothed"].to_numpy(zero_copy_only=False)
+        keep, ns = [], []
+        for i in range(len(xs)):
+            n = dens.get((xs[i], ys[i]))
+            keep.append(n is not None)
+            ns.append(n if n is not None else 0)
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "cell_x": batch["cell_x"].combine_chunks().filter(mask),
+                "cell_y": batch["cell_y"].combine_chunks().filter(mask),
+                "n": pa.array(np.asarray(ns, dtype=np.int64)[np.asarray(keep)], pa.int64()),
+                "n_smoothed": batch["n_smoothed"].combine_chunks().filter(mask),
+            }
+        )
+
+    return smoothed.map_batches(attach, batch_format="pyarrow")

@@ -106,3 +106,37 @@ class TestJsonlSource:
         )
         assert [r["id"] for r in rows] == [85965, 2030162]
         assert rows[1]["status_code"] == 0 and len(rows[1]["geometry"][0]) == 90
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fpr(self):
+        import numpy as np
+
+        from osmptparser_ray.stages.bloom import BloomFilter
+
+        rng = np.random.default_rng(0)
+        members = rng.choice(10**9, size=50_000, replace=False).astype(np.int64)
+        bf = BloomFilter.build(members, fpr=0.01)
+        assert bf.contains(members).all()  # zero false negatives
+        probe = rng.choice(10**12, size=100_000).astype(np.int64) + 10**10
+        fpr = bf.contains(probe).mean()
+        assert fpr < 0.03  # ~1% target with slack
+        assert bf.nbytes < 12 * len(members)  # ~1.2 bytes/key
+
+    def test_bloom_semi_join_superset_of_exact(self, ray_session, sf_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from osmptparser_ray.stages.bloom import bloom_semi_join
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        keys = np.arange(1, 40, dtype=np.int64)  # custkeys 1..39
+        got = {r["o_orderkey"] for r in bloom_semi_join(orders, keys, "o_custkey").take_all()}
+        exact = {
+            r["o_orderkey"]
+            for r in orders.take_all()
+            if r["o_custkey"] in set(keys.tolist())
+        }
+        assert exact <= got  # no false negatives
+        # leakage bounded (generous: tiny key range, small table)
+        assert len(got) <= len(exact) + max(20, len(exact))

@@ -32,7 +32,6 @@ from functools import partial
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

@@ -38,7 +38,6 @@ import ray.data as rd
 
 from ..kernel.filters import TagFilter
 from ..sources.extract import OsmPayloadExtractor, extract_batch
-from ..util import default_actor_concurrency
 
 
 def read_pages(

@@ -375,6 +375,13 @@ def _q_token_count(sf_dir: str):
     return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
 
 
+def _q_bpe_tokens(sf_dir: str):
+    from osmptparser_ray.text.analysis import add_bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_bpe_token_count(ds).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_quality(sf_dir: str):
     from osmptparser_ray.text.analysis import add_quality_scores
 
@@ -739,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "union_distinct": _q_union_distinct,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_tokens,
         "quality_scores": _q_quality,
         "lang_id": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -838,6 +846,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "quality_scores": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "

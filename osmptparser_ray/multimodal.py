@@ -135,14 +135,15 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
-        is_img = i % 2 == 0
+        kind = ("image/png", "audio/wav", "image/png", "video/mp4")[i % 4]
         payload = rng.bytes(256)
         rows["media_id"].append(i)
-        rows["media_type"].append("image/png" if is_img else "audio/wav")
+        rows["media_type"].append(kind)
+        is_visual = kind != "audio/wav"
+        rows["meta_width"].append(64 if is_visual else 0)
+        rows["meta_height"].append(64 if is_visual else 0)
+        rows["meta_sample_rate"].append(16000 if kind == "audio/wav" else 0)
         rows["payload"].append(payload)
-        rows["meta_width"].append(64 if is_img else 0)
-        rows["meta_height"].append(64 if is_img else 0)
-        rows["meta_sample_rate"].append(0 if is_img else 16000)
         rows["n_bytes"].append(len(payload))
     return pa.table(
         {n_: pa.array(rows[n_], MEDIA_SCHEMA.field(n_).type) for n_ in MEDIA_SCHEMA.names}
@@ -170,6 +171,68 @@ def audio_frames(media: rd.Dataset, fake: bool = True) -> rd.Dataset:
     )
     return auds.map_batches(
         AudioFrameSampler,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=default_actor_concurrency(),
+    )
+
+
+def _decode_video(payload: bytes, n_frames: int, width: int, height: int, fake: bool) -> np.ndarray:
+    """→ (n_frames, H, W, 3) uint8. STUB: real codec unavailable here."""
+    if not fake:
+        raise NotImplementedError("video codec not available in this container; use fake=True")
+    rng = np.random.default_rng(_fake_seed(payload))
+    return rng.integers(0, 256, size=(n_frames, height, width, 3), dtype=np.uint8)
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: decode → uniform frame sample → per-frame channel
+    means. Output: one row per (media_id, frame_idx) with mean_r/g/b.
+
+    Frame sampling is uniform over the decoded clip (``sample_every``);
+    batch size stays small (MEDIA_BATCH_SIZE) — video rows are the widest
+    payloads in the corpus.
+    """
+
+    def __init__(self, clip_frames: int = 32, sample_every: int = 8, fake: bool = True):
+        self.clip_frames = clip_frames
+        self.sample_every = sample_every
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, means = [], [], []
+        for mid, p, w, h in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_width"].to_pylist(),
+            batch["meta_height"].to_pylist(),
+        ):
+            clip = _decode_video(p, self.clip_frames, max(w, 8), max(h, 8), self.fake)
+            idxs = range(0, len(clip), self.sample_every)
+            for fi in idxs:
+                out_id.append(mid)
+                out_frame.append(fi)
+                means.append(clip[fi].reshape(-1, 3).mean(axis=0))
+        m = np.asarray(means) if means else np.zeros((0, 3))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int64()),
+                "mean_r": pa.array(m[:, 0], pa.float64()),
+                "mean_g": pa.array(m[:, 1], pa.float64()),
+                "mean_b": pa.array(m[:, 2], pa.float64()),
+            }
+        )
+
+
+def video_frames(media: rd.Dataset, fake: bool = True) -> rd.Dataset:
+    vids = media.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["media_type"], "video/mp4")),
+        batch_format="pyarrow",
+    )
+    return vids.map_batches(
+        VideoFrameSampler,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,

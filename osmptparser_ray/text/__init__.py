@@ -1,4 +1,5 @@
 from .analysis import (
+    add_bpe_token_count,
     add_fingerprint,
     add_rolling_fingerprints,
     quality_filter,
@@ -17,6 +18,7 @@ from .dedup import (
 )
 
 __all__ = [
+    "add_bpe_token_count",
     "add_fingerprint",
     "add_rolling_fingerprints",
     "quality_filter",

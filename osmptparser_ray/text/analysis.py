@@ -15,6 +15,10 @@ import ray.data as rd
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[.!?]"
+# GPT-2-style pretokenizer (public pattern shape): contractions, letter
+# runs, number runs, punctuation runs, whitespace - RE2-compatible so the
+# Arrow kernel and the DuckDB oracle count identically
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 # tiny built-in stopword inventories (public common words)
 EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")
@@ -31,6 +35,19 @@ def add_token_count(ds: rd.Dataset, col: str = "text", out: str = "n_tokens") ->
     def f(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             out, pc.cast(pc.count_substring_regex(batch[col], TOKEN_RE), pa.int64())
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_bpe_token_count(ds: rd.Dataset, col: str = "text", out: str = "n_bpe_tokens") -> rd.Dataset:
+    """BPE-ish token count: GPT-2-style pretokenizer regex (unicode-aware
+    letter/number/punct runs + English contractions) - the pretokenization
+    step of byte-pair encoders; counts its segments."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out, pc.cast(pc.count_substring_regex(batch[col], BPE_RE), pa.int64())
         )
 
     return ds.map_batches(f, batch_format="pyarrow")

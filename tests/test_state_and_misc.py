@@ -72,8 +72,27 @@ class TestMultimodal:
 
         media = rd.from_arrow(synthesize_media_table(32))
         rows = audio_frames(media, fake=True).take_all()
-        assert len(rows) == 16 * 8  # 16 audio rows × 8 frames
+        assert len(rows) == 8 * 8  # 8 audio rows × 8 frames
         assert all(r["rms"] > 0 for r in rows)
+
+    def test_video_frames_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.multimodal import synthesize_media_table, video_frames
+
+        media = rd.from_arrow(synthesize_media_table(32))
+        rows = video_frames(media, fake=True).take_all()
+        # 8 video rows × 4 sampled frames (32 clip frames / sample_every 8)
+        assert len(rows) == 8 * 4
+        assert all(0.0 <= r["mean_r"] <= 255.0 for r in rows)
+
+    def test_video_real_codec_raises(self):
+        from osmptparser_ray.multimodal import _decode_video
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            _decode_video(b"x", 4, 8, 8, fake=False)
 
     def test_real_codec_raises(self):
         from osmptparser_ray.multimodal import _decode_image

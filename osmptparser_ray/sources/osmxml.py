@@ -165,3 +165,85 @@ def elements_to_xml(
         parts.append("</relation>")
     parts.append("</osm>")
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# fast path: regex-based payload parser (differential-tested against ET)
+# ---------------------------------------------------------------------------
+
+import re as _re
+from xml.sax.saxutils import unescape as _unescape
+
+# our synthesizer (elements_to_xml) emits attributes double-quoted with the
+# five standard XML entities only — exactly what _unescape reverses
+_ELEM_RE = _re.compile(
+    r"<(node|way|relation)\b([^>]*?)(/>|>(.*?)</\1>)", _re.DOTALL
+)
+_ATTR_RE = _re.compile(r'([A-Za-z_][\w:]*)="([^"]*)"')
+_CHILD_RE = _re.compile(r'<(tag|nd|member)\b([^>]*?)/>')
+
+
+def _attrs(s: str) -> dict:
+    return {k: _unescape(v) for k, v in _ATTR_RE.findall(s)}
+
+
+def parse_osm_payload_fast(payload: str, out: dict[str, list]) -> int:
+    """Regex-based OSM XML payload parser — ~2x the ET parser on this
+    corpus shape (flat elements, attribute-only children, double-quoted
+    attributes, standard entities). Differential-tested byte-exact against
+    ``parse_osm_payload`` (tests/test_fast_parser.py); falls outside its
+    contract (CDATA, comments, single quotes, nested markup) → use the ET
+    parser.
+    """
+    if not payload or not payload.strip():
+        return 0
+    n = 0
+    for m in _ELEM_RE.finditer(payload):
+        kind = m.group(1)
+        head = _attrs(m.group(2))
+        body = m.group(4) or ""
+        tags: list = []
+        refs: list = []
+        members_r: list = []
+        members_ref: list = []
+        members_t: list = []
+        for cm in _CHILD_RE.finditer(body):
+            ck = cm.group(1)
+            ca = _attrs(cm.group(2))
+            if ck == "tag":
+                tags.append((ca["k"], ca["v"]))
+            elif ck == "nd":
+                refs.append(int(ca["ref"]))
+            else:
+                members_r.append(ca.get("role", ""))
+                members_ref.append(int(ca["ref"]))
+                members_t.append(MTYPE[ca["type"]])
+        out["kind"].append(kind)
+        out["id"].append(int(head["id"]))
+        out["tags"].append(tags)
+        out["info"].append(
+            [] if kind == "node" else [(k, head[k]) for k in INFO_KEYS if k in head]
+        )
+        if kind == "node":
+            out["lat"].append(float(head["lat"]))
+            out["lon"].append(float(head["lon"]))
+            out["node_refs"].append(None)
+            out["member_roles"].append(None)
+            out["member_refs"].append(None)
+            out["member_types"].append(None)
+        elif kind == "way":
+            out["lat"].append(None)
+            out["lon"].append(None)
+            out["node_refs"].append(refs)
+            out["member_roles"].append(None)
+            out["member_refs"].append(None)
+            out["member_types"].append(None)
+        else:
+            out["lat"].append(None)
+            out["lon"].append(None)
+            out["node_refs"].append(None)
+            out["member_roles"].append(members_r)
+            out["member_refs"].append(members_ref)
+            out["member_types"].append(members_t)
+        n += 1
+    return n

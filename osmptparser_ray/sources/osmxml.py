@@ -183,8 +183,11 @@ _ATTR_RE = _re.compile(r'([A-Za-z_][\w:]*)="([^"]*)"')
 _CHILD_RE = _re.compile(r'<(tag|nd|member)\b([^>]*?)/>')
 
 
+_EXTRA_ENTITIES = {"&quot;": '"', "&apos;": "'"}  # saxutils covers only amp/lt/gt
+
+
 def _attrs(s: str) -> dict:
-    return {k: _unescape(v) for k, v in _ATTR_RE.findall(s)}
+    return {k: _unescape(v, _EXTRA_ENTITIES) for k, v in _ATTR_RE.findall(s)}
 
 
 def parse_osm_payload_fast(payload: str, out: dict[str, list]) -> int:

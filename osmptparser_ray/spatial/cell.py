@@ -96,9 +96,14 @@ def cell_xy(cells) -> tuple[np.ndarray, np.ndarray]:
 
 
 def cell_parent(cells, levels_up: int = 1) -> np.ndarray:
-    """Ancestor cell ``levels_up`` levels coarser (vectorized)."""
+    """Ancestor cell ``levels_up`` levels coarser (vectorized).
+
+    Raises if any cell is already coarser than ``levels_up`` (uint
+    arithmetic would silently wrap into garbage ids otherwise)."""
     cells = np.asarray(cells, dtype=np.uint64)
     lvl = cells & _LEVEL_MASK
+    if len(cells) and int(lvl.min()) < levels_up:
+        raise ValueError(f"cell_parent: level {int(lvl.min())} < levels_up {levels_up}")
     new_lvl = lvl - np.uint64(levels_up)
     morton = cells >> np.uint64(_LEVEL_BITS)
     morton >>= np.uint64(2 * levels_up)

@@ -75,3 +75,28 @@ class TestElementsParquetPath:
         assert [r["id"] for r in rows] == [85965, 2030162]
         assert rows[0]["status_code"] == 501 and len(rows[0]["stops"]) == 31
         assert rows[1]["status_code"] == 0 and len(rows[1]["geometry"][0]) == 90
+
+
+class TestAreasShuffleParity:
+    def test_shuffle_equals_broadcast(self, ray_session, tmp_path):
+        from osmptparser_ray.kernel.filters import AA
+        from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+
+        p = str(tmp_path / "pages.parquet")
+        _admin_pages_parquet(p)
+
+        def canon(rows):
+            return sorted(
+                (
+                    r["id"],
+                    r["id_type"],
+                    r["status_code"],
+                    tuple(tuple((pt["lon"], pt["lat"]) for pt in ring) for ring in r["geometry"]),
+                    tuple(sorted(dict(r["tags"]).items())),
+                )
+                for r in rows
+            )
+
+        a = canon(areas_from_pages(p, gap=150.0, filters=AA, mode="broadcast").take_all())
+        b = canon(areas_from_pages(p, gap=150.0, filters=AA, mode="shuffle").take_all())
+        assert a == b and len(a) == 2

@@ -97,16 +97,36 @@ def minhash_signatures(
     (permutation table built once per actor)."""
 
     class Signer:
+        """Signatures for a whole CHUNK of documents at once: shingle arrays
+        concatenated with doc offsets, one (P, S_total) universal-hash
+        matrix, per-doc minima via ``np.minimum.reduceat`` — no per-doc
+        hash matrix. Chunked so the matrix stays ~100 MB."""
+
+        CHUNK_SHINGLES = 200_000
+
         def __init__(self):
             self.a, self.b = _perm_params(num_perm)
 
+        def _sign_chunk(self, shingle_arrays):
+            flat = np.concatenate(shingle_arrays)
+            offsets = np.cumsum([0] + [len(s) for s in shingle_arrays])[:-1]
+            v = (flat[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+            return np.minimum.reduceat(v, offsets, axis=1).T  # (docs, P)
+
         def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            shingle_arrays = [_shingles(t, shingle_k) for t in texts]
             sigs = []
-            for text in batch[text_col].to_pylist():
-                sh = _shingles(text, shingle_k)
-                # (P, S) universal hash then min over shingles
-                v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(v.min(axis=1))
+            chunk: list = []
+            total = 0
+            for sh in shingle_arrays:
+                if chunk and total + len(sh) > self.CHUNK_SHINGLES:
+                    sigs.extend(self._sign_chunk(chunk))
+                    chunk, total = [], 0
+                chunk.append(sh)
+                total += len(sh)
+            if chunk:
+                sigs.extend(self._sign_chunk(chunk))
             return pa.table(
                 {
                     id_col: batch[id_col],

@@ -54,7 +54,6 @@ _EN_STOP = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")
 _ES_STOP = ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por")
 _STOP_RE_EN = r"\b(" + "|".join(_EN_STOP) + r")\b"
 _STOP_RE_ES = r"\b(" + "|".join(_ES_STOP) + r")\b"
-_TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
 def _fixture_pages(replicas: int = 1) -> str:

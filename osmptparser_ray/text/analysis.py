@@ -157,10 +157,11 @@ def add_rolling_fingerprints(
             win = np.lib.stride_tricks.sliding_window_view(arr, k)
             powers = np.empty(k, dtype=np.uint64)
             powers[0] = 1
-            for i in range(1, k):
-                powers[i] = powers[i - 1] * np.uint64(1099511628211)
-            h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
+            with np.errstate(over="ignore"):  # uint64 wraparound by design
+                for i in range(1, k):
+                    powers[i] = powers[i - 1] * np.uint64(1099511628211)
+                h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
             h ^= h >> np.uint64(33)
             if len(h) <= window:
                 sel = h.min(keepdims=True) if len(h) else h

@@ -53,11 +53,12 @@ def _shingles(text: str, k: int) -> np.ndarray:
     win = np.lib.stride_tricks.sliding_window_view(arr, k)
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = powers[i - 1] * _SHINGLE_BASE
-    # scramble with an avalanche multiply so nearby windows decorrelate
-    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _SHINGLE_BASE
+        # scramble with an avalanche multiply so nearby windows decorrelate
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
     h ^= h >> np.uint64(33)
     return np.unique(h)
 

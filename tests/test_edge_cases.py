@@ -140,3 +140,29 @@ class TestBloomFilter:
         assert exact <= got  # no false negatives
         # leakage bounded (generous: tiny key range, small table)
         assert len(got) <= len(exact) + max(20, len(exact))
+
+
+class TestDeterminism:
+    def test_flagship_cross_run_identical(self, ray_session, tmp_path):
+        """Two executions produce identical value sets (order-insensitive) —
+        the reference's contract: values deterministic, order not."""
+        from osmptparser_ray.pipelines.spatial_join import stop_route_spatial_join
+        from osmptparser_ray.sources import synthesize_pages_parquet
+
+        pages = str(tmp_path / "pages")
+        synthesize_pages_parquet(pages, replicas=3, files=4)
+
+        def snapshot():
+            out = stop_route_spatial_join(pages)
+            pip = sorted((r["point_id"], r["poly_id"]) for r in out["pip"].take_all())
+            knn = sorted(
+                (r["point_id"], r["rank"], r["neighbor_id"], round(r["dist_m"], 9))
+                for r in out["knn"].take_all()
+            )
+            tiles = sorted((r["stop_id"], r["cell"]) for r in out["tiles"].take_all())
+            return pip, knn, tiles
+
+        a = snapshot()
+        b = snapshot()
+        assert a == b
+        assert all(len(x) > 0 for x in a)

@@ -654,6 +654,24 @@ def _q_checkpoint_resume(sf_dir: str):
     )
 
 
+def _q_det_sample(sf_dir: str):
+    """Deterministic hash sample (30%) of orders + stratified doc sample
+    (per-lang fractions) — reproducible splits with closed-form SQL."""
+    from osmptparser_ray.stages.relational import deterministic_sample
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    return deterministic_sample(orders, 0.3, "o_orderkey")
+
+
+def _q_stratified_sample(sf_dir: str):
+    from osmptparser_ray.stages.relational import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        docs, {"en": 0.5, "es": 0.2}, "lang", "doc_id"
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_topk_per_group(sf_dir: str):
     """Top-3 documents per source by n_chars (ties by doc_id asc)."""
     from osmptparser_ray.stages.relational import topk_per_group
@@ -766,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "sessionize": _q_sessionize,
         "topk_per_group": _q_topk_per_group,
+        "deterministic_sample": _q_det_sample,
+        "stratified_sample": _q_stratified_sample,
         "broadcast_enrich": _q_broadcast_enrich,
         "parser_summary": _q_parser_summary,
         "admin_areas": _q_admin_areas,
@@ -894,6 +914,16 @@ def oracle_sql() -> dict[str, str]:
             "t.vec_id ASC) AS rank "
             "FROM embeddings q CROSS JOIN embeddings t WHERE q.vec_id < 5) "
             "WHERE rank <= 5"
+        ),
+        "deterministic_sample": (
+            "SELECT o_orderkey FROM orders WHERE "
+            "(o_orderkey * 2654435761) % 4294967296 < CAST(0.3 * 4294967296 AS BIGINT)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(doc_id * 2654435761) % 4294967296 < CASE lang "
+            "WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT) "
+            "WHEN 'es' THEN CAST(0.2 * 4294967296 AS BIGINT) ELSE 0 END"
         ),
         "topk_per_group": (
             "SELECT source, rank, doc_id, n_chars FROM ("

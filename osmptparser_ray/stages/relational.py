@@ -83,3 +83,57 @@ def broadcast_join(
 
     return ds.map_batches(enrich, batch_format="pandas")
 
+
+
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def deterministic_sample(
+    ds: rd.Dataset,
+    fraction: float,
+    on: str,
+    *,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic hash sampling: keep rows where
+    ``(id * K + salt) mod 2^32 < fraction * 2^32``.
+
+    Unlike ``Dataset.random_sample`` this is REPRODUCIBLE across runs,
+    partitionings, and engines (the same closed-form predicate runs in SQL)
+    — the property training pipelines need for stable held-out splits.
+    """
+    threshold = int(fraction * (1 << 32))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys = batch[on].to_numpy().astype(np.int64)
+        h = (keys * _SAMPLE_MULT + salt) % (1 << 32)
+        return batch[h < threshold]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    fractions: dict,
+    strata_col: str,
+    on: str,
+    *,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum value →
+    keep fraction (missing strata are dropped). Same closed-form hash as
+    ``deterministic_sample`` — SQL-expressible, reproducible."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys = batch[on].to_numpy().astype(np.int64)
+        h = (keys * _SAMPLE_MULT + salt) % (1 << 32)
+        thresh = batch[strata_col].map(
+            lambda s: int(fractions.get(s, 0.0) * (1 << 32))
+        ).to_numpy()
+        return batch[h < thresh]
+
+    return ds.map_batches(f, batch_format="pandas")

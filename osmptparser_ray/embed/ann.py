@@ -102,6 +102,17 @@ def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _hyperplanes_cached(dim: int, bits: int) -> np.ndarray:
+    """Per-process memo of the (deterministic, fixed-seed) plane matrix —
+    every worker derives the identical planes locally, so no broadcast and
+    no per-batch rebuild."""
+    return _hyperplanes(dim, bits)
+
+
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (m @ planes.T) > 0  # (n, bits)
     out = np.zeros(len(m), dtype=np.uint64)
@@ -180,8 +191,9 @@ def lsh_ann(
 def cosine_near_dup(
     vectors: rd.Dataset,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: Optional[int] = None,
     *,
+    target_bucket: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> rd.Dataset:
@@ -189,12 +201,27 @@ def cosine_near_dup(
 
     Output: (doc_a, doc_b, score) with doc_a < doc_b. Same-bucket pairs
     only (approximate recall, exact precision).
-    """
 
-    def bucketize(batch: pa.Table, planes_dim: Optional[int] = None) -> pa.Table:
+    ``bits=None`` (default) auto-scales the bucket count to the corpus:
+    2^bits ≈ n / target_bucket, clipped to [4, 24] — expected bucket
+    population stays ~``target_bucket`` as the corpus grows, bounding the
+    O(bucket²) in-bucket refine instead of letting buckets grow O(n) at a
+    fixed bit width. (More bits also means lower recall for borderline
+    pairs — raise ``target_bucket`` to trade compute for recall.) The
+    plane matrix is a fixed-seed deterministic function of (dim, bits),
+    derived once per worker process, not per batch.
+    """
+    if bits is None:
+        n = vectors.count()
+        bits = int(np.clip(np.ceil(np.log2(max(n, 1) / target_bucket)), 4, 24))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[vec_col]))
-        planes = _hyperplanes(m.shape[1] if m.size else 2, bits)
-        buckets = _bucket_of(m, planes) if m.size else np.empty(0, np.uint64)
+        buckets = (
+            _bucket_of(m, _hyperplanes_cached(m.shape[1], bits))
+            if m.size
+            else np.empty(0, np.uint64)
+        )
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.uint64()),

@@ -61,14 +61,27 @@ class TagFilter:
     def mask_flat(
         self, row_idx: np.ndarray, keys: np.ndarray, vals: np.ndarray, num_rows: int
     ) -> np.ndarray:
-        """Boolean row mask from pre-flattened (row, key, value) arrays."""
+        """Boolean row mask from pre-flattened (row, key, value) arrays.
+
+        A value conjunct checks only each row's FIRST occurrence of the
+        key, matching the reference's ``tags().find(..)`` (mod.rs:93):
+        a row whose map carries duplicate keys (legal in Arrow maps and in
+        XML <tag> children) passes iff the first occurrence's value
+        matches — a later matching duplicate must NOT rescue it.
+        """
         out = np.ones(num_rows, dtype=bool)
         for key, values in self.conjuncts:
             hit = keys == key
-            if values is not None:
-                hit &= np.isin(vals, values)
+            rows_k = row_idx[hit]  # non-decreasing (row-major flatten)
             ok = np.zeros(num_rows, dtype=bool)
-            ok[row_idx[hit]] = True
+            if values is None:
+                ok[rows_k] = True
+            else:
+                first = np.ones(len(rows_k), dtype=bool)
+                first[1:] = rows_k[1:] != rows_k[:-1]
+                frows = rows_k[first]
+                fvals = vals[hit][first]
+                ok[frows[np.isin(fvals, values)]] = True
             out &= ok
         return out
 

@@ -400,19 +400,28 @@ def knn_join_broadcast(
 def _target_rows(
     batch: pa.Table, level: int, id_col: str, lat_col: str, lon_col: str
 ) -> pa.Table:
-    """Replicate each target point to its 3×3 cell neighborhood."""
+    """Replicate each target point to its 3×3 cell neighborhood.
+
+    The neighborhood is deduped PER TARGET (vectorized row-sort + run mask):
+    cell_neighbors clamps at the latitude boundary by repeating the center
+    cell, and a duplicated (cell, tid) row would join into a duplicate
+    candidate pair that can occupy two top-k slots downstream (the
+    broadcast plan dedups with np.unique — this keeps the plans identical).
+    """
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     lats = batch[lat_col].to_numpy(zero_copy_only=False)
     lons = batch[lon_col].to_numpy(zero_copy_only=False)
     cells = encode_cell(lats, lons, level)
-    neigh = cell_neighbors(cells)  # (n, 9)
-    n, m = neigh.shape
+    neigh = np.sort(cell_neighbors(cells), axis=1)  # (n, 9)
+    keep = np.ones(neigh.shape, dtype=bool)
+    keep[:, 1:] = neigh[:, 1:] != neigh[:, :-1]
+    counts = keep.sum(axis=1)
     return pa.table(
         {
-            "cell": pa.array(neigh.ravel(), pa.uint64()),
-            "tid": pa.array(np.repeat(ids, m), pa.int64()),
-            "tlat": pa.array(np.repeat(lats, m), pa.float64()),
-            "tlon": pa.array(np.repeat(lons, m), pa.float64()),
+            "cell": pa.array(neigh[keep], pa.uint64()),
+            "tid": pa.array(np.repeat(ids, counts), pa.int64()),
+            "tlat": pa.array(np.repeat(lats, counts), pa.float64()),
+            "tlon": pa.array(np.repeat(lons, counts), pa.float64()),
         }
     )
 
@@ -620,23 +629,74 @@ def raster_vector_join(
     *,
     route_id: str = "id",
     num_partitions: Optional[int] = None,
+    plan: str = "broadcast",
 ) -> rd.Dataset:
-    """tiles (cell:uint64, …) ⨝ route cover cells → (cell, route_id) rows."""
+    """tiles (cell:uint64, …) ⨝ route cover cells → (cell, route_id) rows.
+
+    Default plan: the vector cover (routes × covered cells) is computed
+    distributed, collected ONCE into two cell-sorted numpy arrays and
+    broadcast (``ray.put``); each tile batch resolves its matches with two
+    ``searchsorted`` calls — zero shuffle, the raster side streams. This is
+    the scale-right shape: tiles is the huge raster side, the cover is
+    bounded by routes × cells-per-route.
+
+    ``plan="shuffle"`` keeps the hash-join variant for covers too large to
+    broadcast. Caveat (why it is not the default): with a sparse cover and
+    a partition count sized to the cluster, right-side hash partitions can
+    be left without any cover block, and the aggregator's Acero join then
+    fails to resolve the key on an empty schema-less block (observed as
+    ``ArrowInvalid: No match … FieldRef.Name(cell) on right side``).
+    """
     import ray
+
+    from ..util import cached_get, join_partitions
 
     cover = routes.map_batches(
         partial(_route_cover_rows, level=level, id_col=route_id), batch_format="pyarrow"
     )
-    from ..util import join_partitions
+    if plan == "shuffle":
+        npart = num_partitions or join_partitions()
+        return tiles.select_columns(["cell"]).join(
+            cover,
+            join_type="inner",
+            num_partitions=npart,
+            on=("cell",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
 
-    npart = num_partitions or join_partitions()
-    return tiles.select_columns(["cell"]).join(
-        cover,
-        join_type="inner",
-        num_partitions=npart,
-        on=("cell",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
+    c_parts, r_parts = [], []
+    for b in cover.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+        c_parts.append(b["cell"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        r_parts.append(b["route_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ccells = np.concatenate(c_parts) if c_parts else np.empty(0, np.uint64)
+    crids = np.concatenate(r_parts) if r_parts else np.empty(0, np.int64)
+    order = np.argsort(ccells, kind="stable")
+    cover_ref = ray.put((ccells[order], crids[order]))
+
+    def match(batch: pa.Table) -> pa.Table:
+        ccells_s, crids_s = cached_get(cover_ref)
+        tcells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = np.searchsorted(ccells_s, tcells, side="left")
+        hi = np.searchsorted(ccells_s, tcells, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if not total:
+            return pa.table(
+                {"cell": pa.array([], pa.uint64()), "route_id": pa.array([], pa.int64())}
+            )
+        # flat indexes into the sorted cover for every (tile, match) pair:
+        # start-of-run repeated per match + offset within the run
+        run_ends = np.cumsum(counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(run_ends - counts, counts)
+        idx = np.repeat(lo, counts) + offs
+        return pa.table(
+            {
+                "cell": pa.array(np.repeat(tcells, counts), pa.uint64()),
+                "route_id": pa.array(crids_s[idx], pa.int64()),
+            }
+        )
+
+    return tiles.map_batches(match, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

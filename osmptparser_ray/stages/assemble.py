@@ -84,6 +84,53 @@ def _geometry_value(segments) -> list:
     ]
 
 
+def _pack_geometry(segments) -> bytes:
+    """Flattened segments → one binary blob (join-safe payload).
+
+    Layout: [n_segs:i64][seg lengths:i64×n][all lons:f64][all lats:f64].
+    Acero hash joins cannot carry nested columns as non-key fields, so
+    geometry crosses the shuffle-mode metadata join packed (same trick as
+    the ring blobs in spatial.join)."""
+    lens = np.array([len(s.lons) for s in segments], dtype=np.int64)
+    lons = (
+        np.concatenate([np.asarray(s.lons, np.float64) for s in segments])
+        if segments
+        else np.empty(0, np.float64)
+    )
+    lats = (
+        np.concatenate([np.asarray(s.lats, np.float64) for s in segments])
+        if segments
+        else np.empty(0, np.float64)
+    )
+    return (
+        np.array([len(lens)], dtype=np.int64).tobytes()
+        + lens.tobytes()
+        + lons.tobytes()
+        + lats.tobytes()
+    )
+
+
+def _unpack_geometry(blob: bytes) -> list:
+    """Inverse of ``_pack_geometry`` → the GEOM_T python value."""
+    nseg = int(np.frombuffer(blob, np.int64, 1)[0])
+    lens = np.frombuffer(blob, np.int64, nseg, offset=8)
+    total = int(lens.sum())
+    off = 8 + 8 * nseg
+    lons = np.frombuffer(blob, np.float64, total, offset=off)
+    lats = np.frombuffer(blob, np.float64, total, offset=off + 8 * total)
+    out, pos = [], 0
+    for n in lens:
+        n = int(n)
+        out.append(
+            [
+                {"lon": float(lons[pos + i]), "lat": float(lats[pos + i])}
+                for i in range(n)
+            ]
+        )
+        pos += n
+    return out
+
+
 class WayIndex(NamedTuple):
     """Columnar member-way lookup: sorted-id permutation over CSR refs.
 
@@ -286,6 +333,13 @@ class _BroadcastAssembler:
             if refs is None:
                 continue  # missing way silently filtered (mod.rs:672)
             ids, lats, lons = self.nodes.gather(refs)
+            if len(ids) == 0:
+                # a way with zero RESOLVABLE nodes behaves like a missing
+                # way (both modes drop it): the reference would push an
+                # empty node vec and later index [0] out of it — we model
+                # the silent-filter semantics instead, identically in the
+                # broadcast and shuffle paths
+                continue
             seqs.append(NodeSeq(ids, lats, lons))
         return seqs
 
@@ -545,11 +599,17 @@ def _group_flatten(g: pd.DataFrame, gap: float, closed: bool) -> pd.DataFrame:
 
     Null ``lat`` rows are unmatched left-outer join probes: a missing way
     (no node rows at all) or a missing node — both silently dropped, the
-    reference's resolution semantics (mod.rs:672/680/693). A relation whose
-    EVERY member is missing still yields a group (its sentinel rows), giving
-    seqs=[] → 501 Broken + empty geometry, exactly like the reference.
+    reference's resolution semantics (mod.rs:672/680/693). The relation's
+    metadata sentinel row (member_pos == -1, non-null ``meta_blob``) is
+    split out and its blob carried through to the finishing stage; it has a
+    null ``lat`` so the dropna also removes it from the geometry rows. A
+    relation whose every member is missing still yields a group (its
+    sentinel/unmatched rows), giving seqs=[] → 501 Broken + empty geometry,
+    exactly like the reference.
     """
     rid = int(g["relation_id"].iloc[0])
+    mb = g["meta_blob"].dropna()
+    meta_blob = mb.iloc[0] if len(mb) else b""
     g = g.dropna(subset=["lat"])
     g = g.sort_values(["member_pos", "node_pos"], kind="stable")
     seqs: list[NodeSeq] = []
@@ -565,7 +625,8 @@ def _group_flatten(g: pd.DataFrame, gap: float, closed: bool) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "id": [rid],
-            "geometry": [_geometry_value(segments)],
+            "geom_blob": [_pack_geometry(segments)],
+            "meta_blob": [meta_blob],
             "status_code": [status.code],
             "status_detail": [status.detail],
         }
@@ -582,11 +643,12 @@ def _assemble_shuffle(
 ) -> rd.Dataset:
     """Distributed explode→join→regroup assembly (see module docstring).
 
-    All join payloads are scalar int64/float64 columns (refs exploded before
-    joining); relation metadata (nested tags/info/stops) never enters a
-    shuffle — it is broadcast into the finishing stage keyed by relation id.
-    LEFT OUTER joins preserve relations/ways whose refs are missing so the
-    silent-filter semantics match the reference exactly.
+    All join payloads are scalar int64/float64/binary columns (refs exploded
+    before joining; nested metadata/geometry cross joins as per-relation
+    binary blobs); nothing relation-scale is ever collected on the driver —
+    the only broadcast side is the stop-member node lookup, pruned to stop
+    ids. LEFT OUTER joins preserve relations/ways whose refs are missing so
+    the silent-filter semantics match the reference exactly.
     """
     # Size the shuffle to the cluster: each hash-join partition pins an
     # aggregator ACTOR; two joins run concurrently in one streaming plan, so
@@ -615,20 +677,63 @@ def _assemble_shuffle(
         right_on=("id",),
         aggregator_ray_remote_args=agg_args,
     )
-    flat = joined_nodes.groupby("relation_id").map_groups(
+    # relation metadata (nested tags/info/stop_ids) crosses the reassembly
+    # shuffle as per-relation SENTINEL ROWS (member_pos = -1, one pickled
+    # binary blob each) unioned into the joined node stream — NO driver-side
+    # dict, NO extra join. The sentinel rides the same relation_id-keyed
+    # groupby the geometry rows take; `_group_flatten` splits it back out.
+    # (A third hash join was tried and rejected: empty groupby partitions
+    # emit zero-column blocks that bypass map_batches, and Acero hard-fails
+    # resolving a key on a schema-less side.) Bonus: a relation whose every
+    # member is missing still reaches the output via its sentinel row.
+    import pickle
+
+    row_cols = [
+        "relation_id",
+        "member_pos",
+        "way_id",
+        "node_pos",
+        "node_id",
+        "lat",
+        "lon",
+        "meta_blob",
+    ]
+
+    def _with_meta_null(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "meta_blob", pa.nulls(batch.num_rows, pa.binary())
+        )
+        return batch.select(row_cols)
+
+    node_rows = joined_nodes.map_batches(_with_meta_null, batch_format="pyarrow")
+
+    def _meta_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        blobs = [
+            pickle.dumps((t, i, s), protocol=pickle.HIGHEST_PROTOCOL)
+            for t, i, s in zip(
+                batch["tags"].to_pylist(),
+                batch["info"].to_pylist(),
+                batch["stop_ids"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "relation_id": batch["id"],
+                "member_pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "way_id": pa.nulls(n, pa.int64()),
+                "node_pos": pa.nulls(n, pa.int64()),
+                "node_id": pa.nulls(n, pa.int64()),
+                "lat": pa.nulls(n, pa.float64()),
+                "lon": pa.nulls(n, pa.float64()),
+                "meta_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    meta_rows = tables.relations.map_batches(_meta_rows, batch_format="pyarrow")
+    with_meta = node_rows.union(meta_rows).groupby("relation_id").map_groups(
         partial(_group_flatten, gap=gap, closed=closed), batch_format="pandas"
     )
-
-    # relation metadata + stop resolution: broadcast side inputs (the
-    # relations head table and the pruned node lookup are the SMALL sides)
-    meta: dict[int, tuple] = {}
-    for b in tables.relations.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        tag_items = b["tags"].to_pylist()
-        info_items = b["info"].to_pylist()
-        stop_lists = b["stop_ids"].to_pylist()
-        for i, rid in enumerate(b["id"].to_pylist()):
-            meta[rid] = (tag_items[i], info_items[i], stop_lists[i])
-    meta_ref = ray.put(meta)
     nodes_ref = (
         ray.put(build_node_index(tables.nodes, collect_stop_ids(tables.relations)))
         if not as_area
@@ -636,36 +741,31 @@ def _assemble_shuffle(
     )
 
     class FinishMeta:
-        """Attach broadcast tags/info (+ resolved stops for PT rows)."""
+        """Decode joined meta/geometry blobs (+ resolve stops for PT rows)."""
 
         def __init__(self):
-            self.meta = _cached_get(meta_ref)
             self.nodes = _cached_get(nodes_ref) if nodes_ref is not None else None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["id"].to_pylist()
-            tags = [self.meta[r][0] for r in ids]
-            infos = [self.meta[r][1] for r in ids]
-            geom = batch["geometry"]
-            if geom.type != GEOM_T:
-                # pandas→arrow inference may reorder the lon/lat struct
-                # fields; rebuild with the canonical type (rows here are
-                # one-per-relation — cheap)
-                geom = pa.array(geom.to_pylist(), GEOM_T)
+            metas = [pickle.loads(b) for b in batch["meta_blob"].to_pylist()]
+            geom = pa.array(
+                [_unpack_geometry(b) for b in batch["geom_blob"].to_pylist()], GEOM_T
+            )
             cols: dict = {"id": batch["id"]}
             if as_area:
                 cols["id_type"] = pa.array(["r"] * len(ids), pa.string())
-            cols["tags"] = pa.array(tags, TAGS_T)
-            cols["info"] = pa.array(infos, TAGS_T)
+            cols["tags"] = pa.array([m[0] for m in metas], TAGS_T)
+            cols["info"] = pa.array([m[1] for m in metas], TAGS_T)
             if not as_area:
-                stop_lists = [self.meta[r][2] for r in ids]
+                stop_lists = [m[2] for m in metas]
                 counts = np.array([len(s) for s in stop_lists], dtype=np.int64)
-                flat = (
+                flat_ids = (
                     np.concatenate([np.asarray(s, dtype=np.int64) for s in stop_lists])
                     if counts.sum()
                     else np.empty(0, np.int64)
                 )
-                ok, lats, lons, tags_list = self.nodes.stops_bulk(flat)
+                ok, lats, lons, tags_list = self.nodes.stops_bulk(flat_ids)
                 stops_col = []
                 pos = 0
                 fi = 0
@@ -675,7 +775,7 @@ def _assemble_shuffle(
                         if ok[j]:
                             stops.append(
                                 {
-                                    "id": int(flat[j]),
+                                    "id": int(flat_ids[j]),
                                     "lat": float(lats[fi]),
                                     "lon": float(lons[fi]),
                                     "tags": tags_list[fi],
@@ -691,7 +791,7 @@ def _assemble_shuffle(
             order = (AREA_SCHEMA if as_area else PT_SCHEMA).names
             return pa.table({k: cols[k] for k in order})
 
-    return flat.map_batches(
+    return with_meta.map_batches(
         FinishMeta,
         batch_format="pyarrow",
         concurrency=default_actor_concurrency(),

@@ -96,11 +96,18 @@ def deterministic_sample(
     salt: int = 0,
 ) -> rd.Dataset:
     """Deterministic hash sampling: keep rows where
-    ``(id * K + salt) mod 2^32 < fraction * 2^32``.
+    ``((id mod 2^31) * K + salt) mod 2^32 < fraction * 2^32``.
 
     Unlike ``Dataset.random_sample`` this is REPRODUCIBLE across runs,
     partitionings, and engines (the same closed-form predicate runs in SQL)
     — the property training pipelines need for stable held-out splits.
+
+    The key is masked to 31 bits BEFORE the multiply so the largest
+    intermediate, (2^31−1)·K ≈ 5.7e18, fits a signed 64-bit integer —
+    the SQL transliteration ``((id % 2147483648) * 2654435761 + salt) %
+    4294967296`` therefore never overflows BIGINT for any id. SQL parity
+    assumes NON-NEGATIVE ids (SQL ``%`` takes the dividend's sign; numpy's
+    takes the divisor's, so they disagree on negative keys).
     """
     threshold = int(fraction * (1 << 32))
 
@@ -108,7 +115,7 @@ def deterministic_sample(
         import numpy as np
 
         keys = batch[on].to_numpy().astype(np.int64)
-        h = (keys * _SAMPLE_MULT + salt) % (1 << 32)
+        h = ((keys % (1 << 31)) * _SAMPLE_MULT + salt) % (1 << 32)
         return batch[h < threshold]
 
     return ds.map_batches(f, batch_format="pandas")
@@ -124,13 +131,14 @@ def stratified_sample(
 ) -> rd.Dataset:
     """Per-stratum deterministic sampling: ``fractions`` maps stratum value →
     keep fraction (missing strata are dropped). Same closed-form hash as
-    ``deterministic_sample`` — SQL-expressible, reproducible."""
+    ``deterministic_sample`` (31-bit-masked key — see there for the SQL
+    overflow-safety argument) — SQL-expressible, reproducible."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         keys = batch[on].to_numpy().astype(np.int64)
-        h = (keys * _SAMPLE_MULT + salt) % (1 << 32)
+        h = ((keys % (1 << 31)) * _SAMPLE_MULT + salt) % (1 << 32)
         thresh = batch[strata_col].map(
             lambda s: int(fractions.get(s, 0.0) * (1 << 32))
         ).to_numpy()

@@ -217,83 +217,185 @@ def verify_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    plan: str = "join",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Exact shingle-Jaccard verification of candidate pairs.
 
-    Texts are broadcast (ray.put of id→text); at 10^12 scale replace with a
-    pair→text join — candidate pairs are << corpus size by construction.
+    Default plan (``"join"``, the at-scale path): candidate pairs are first
+    deduped with a groupby-aggregate (a pair surfaced by several LSH bands
+    would otherwise be verified once PER BAND), then two hash joins carry
+    each side's text onto the pair row (pairs ⨝ docs on doc_a, then on
+    doc_b) and a per-batch kernel computes shingle Jaccard. Nothing is
+    collected on the driver; pairs << corpus by construction, so both
+    joins are pair-sized, not corpus-sized.
+
+    ``plan="broadcast"`` keeps the id→text broadcast variant for SMALL
+    corpora only (every worker holds all texts — fine for fixture-scale
+    tests, unusable when the corpus exceeds a worker heap).
     """
     import ray
+    from ray.data.aggregate import Count
 
-    texts: dict[int, str] = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(
-        batch_size=1 << 16, batch_format="pyarrow"
-    ):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = t
-    texts_ref = ray.put(texts)
+    from ..util import JOIN_AGG_ARGS, cached_get, join_partitions
 
-    class Verify:
-        def __init__(self):
-            from ..util import cached_get
+    # dedup candidate pairs BEFORE the expensive verification work
+    uniq = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    )
 
-            self.texts = cached_get(texts_ref)
-            self._cache: dict[int, np.ndarray] = {}
+    def _jaccard_batch(a_texts: list, b_texts: list) -> np.ndarray:
+        jac = np.empty(len(a_texts), dtype=np.float64)
+        cache: dict[str, np.ndarray] = {}
 
-        def _sh(self, doc_id: int) -> np.ndarray:
-            s = self._cache.get(doc_id)
+        def sh(t: str) -> np.ndarray:
+            s = cache.get(t)
             if s is None:
-                s = _shingles(self.texts[doc_id], shingle_k)
-                self._cache[doc_id] = s
+                s = _shingles(t, shingle_k)
+                cache[t] = s
             return s
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch["doc_a"].to_pylist()
-            b_ids = batch["doc_b"].to_pylist()
-            jac = []
-            for a, b2 in zip(a_ids, b_ids):
-                sa = self._sh(a)
-                sb = self._sh(b2)
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jac.append(inter / union if union else 0.0)
+        for i, (ta, tb) in enumerate(zip(a_texts, b_texts)):
+            sa, sb = sh(ta), sh(tb)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        return jac
+
+    if plan == "broadcast":
+        texts: dict[int, str] = {}
+        for b in docs.select_columns([id_col, text_col]).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"
+        ):
+            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+                texts[i] = t
+        texts_ref = ray.put(texts)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            tmap = cached_get(texts_ref)
+            a_texts = [tmap[i] for i in batch["doc_a"].to_pylist()]
+            b_texts = [tmap[i] for i in batch["doc_b"].to_pylist()]
+            jac = _jaccard_batch(a_texts, b_texts)
             out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-            return out.filter(pa.array(np.asarray(jac) >= threshold))
+            return out.filter(pa.array(jac >= threshold))
 
-    from ray.data.aggregate import Max
+        return uniq.map_batches(verify_bcast, batch_format="pyarrow")
 
-    verified = pairs.map_batches(
-        lambda t, _cls=Verify: _cls()(t), batch_format="pyarrow"
+    npart = num_partitions or join_partitions()
+    txt = docs.select_columns([id_col, text_col])
+    a_txt = txt.map_batches(
+        lambda t: pa.table({"doc_a": t[id_col], "text_a": t[text_col]}),
+        batch_format="pyarrow",
     )
-    # dedup pairs surfaced by several LSH bands (vectorized aggregate, not a
-    # per-group UDF); jaccard is identical across duplicates so Max is a
-    # no-op numerically
-    return verified.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    b_txt = txt.map_batches(
+        lambda t: pa.table({"doc_b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j1 = uniq.join(
+        a_txt,
+        join_type="inner",
+        num_partitions=npart,
+        on=("doc_a",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    j2 = j1.join(
+        b_txt,
+        join_type="inner",
+        num_partitions=npart,
+        on=("doc_b",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        jac = _jaccard_batch(
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+        )
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].combine_chunks().filter(keep),
+                "doc_b": batch["doc_b"].combine_chunks().filter(keep),
+                "jaccard": pa.array(jac[jac >= threshold], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")
+
+
+import re as _re
+
+_SIMHASH_TOKEN_RE = _re.compile(r"[A-Za-z0-9_]+")
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_CACHE_CAP = 1 << 22
+
+
+def _blake2b_token_hashes(tokens) -> np.ndarray:
+    """uint64 blake2b(token) for an array of UNIQUE tokens, memoized per
+    worker process — Zipf vocabularies make the cross-batch hit rate ~1,
+    so the per-token hashlib call is paid once per NEW vocab word."""
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            if len(cache) < _TOKEN_CACHE_CAP:
+                cache[tok] = h
+        out[i] = h
+    return out
 
 
 def simhash_signatures(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> rd.Dataset:
-    """→ (doc_id, simhash:uint64) from token blake2b hashes (64-bit)."""
-    import re
+    """→ (doc_id, simhash:uint64) from token blake2b hashes (64-bit).
 
-    token_re = re.compile(r"[A-Za-z0-9_]+")
+    Vectorized but bit-identical to the per-token definition (bit i of the
+    simhash = majority vote of the ±1 contributions = [#tokens with bit i
+    set > n_tokens/2]): per batch, token instances are deduplicated
+    (np.unique) and hashed through the per-worker memo above; the bit
+    accumulation is one (tokens × 64) unpack + ``np.add.reduceat`` over
+    doc offsets, chunked so the unpack stays ~50 MB.
+    """
+    CHUNK_TOKENS = 200_000
+    shifts = np.arange(64, dtype=np.uint64)
 
     def f(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch[text_col].to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in token_re.findall(text.lower()):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        texts = batch[text_col].to_pylist()
+        token_lists = [_SIMHASH_TOKEN_RE.findall(t.lower()) for t in texts]
+        lens = np.array([len(t) for t in token_lists], np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        start = 0
+        while start < len(texts):
+            end = start
+            total = 0
+            while end < len(texts) and (end == start or total + lens[end] <= CHUNK_TOKENS):
+                total += lens[end]
+                end += 1
+            # empty docs stay simhash 0 and are excluded — an empty
+            # reduceat segment would wrongly pick up the next doc's row
+            sel = np.array([i for i in range(start, end) if lens[i] > 0], np.int64)
+            if len(sel):
+                all_toks = np.array(
+                    [tok for i in sel for tok in token_lists[i]], dtype=object
                 )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sh = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    sh |= np.uint64(1) << np.uint64(i)
-            out.append(sh)
+                uniq, inv = np.unique(all_toks, return_inverse=True)
+                hashes = _blake2b_token_hashes(uniq)[inv]
+                bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                offsets = np.zeros(len(sel), dtype=np.int64)
+                np.cumsum(lens[sel][:-1], out=offsets[1:])
+                ones = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+                maj = (2 * ones) > lens[sel][:, None]  # acc > 0
+                out[sel] = (maj.astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            start = end
         return pa.table(
             {id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())}
         )

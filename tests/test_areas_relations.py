@@ -100,3 +100,41 @@ class TestAreasShuffleParity:
         a = canon(areas_from_pages(p, gap=150.0, filters=AA, mode="broadcast").take_all())
         b = canon(areas_from_pages(p, gap=150.0, filters=AA, mode="shuffle").take_all())
         assert a == b and len(a) == 2
+
+
+class TestEngineIndependentGolden:
+    def test_way_areas_match_scalar_transliteration(self, ray_session, tmp_path):
+        """The 126-way areas_fixture golden must be reproduced by
+        tools/derive_goldens.py — a scalar line-by-line transliteration of
+        the reference algorithms (relation.rs:88-337) over the decoded
+        fixture that imports NOTHING from the engine kernel. This makes
+        the driver golden engine-independent: kernel and oracle can only
+        agree if both match the reference."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "derive_goldens",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "derive_goldens.py"),
+        )
+        dg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(dg)
+        want = dg.derive_area_rows(gap=150.0, tag_filter="highway")
+
+        from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+        from osmptparser_ray.sources import synthesize_pages_parquet
+
+        p = str(tmp_path / "pages.parquet")
+        synthesize_pages_parquet(p, replicas=1)
+        ds = areas_from_pages(p, gap=150.0, filters="highway")
+        got = sorted(
+            (
+                r["id"],
+                r["id_type"],
+                r["status_code"],
+                len(r["geometry"]),
+                sum(len(ring) for ring in r["geometry"]),
+            )
+            for r in ds.take_all()
+        )
+        assert got == want and len(got) == 126

@@ -166,3 +166,52 @@ class TestDeterminism:
         b = snapshot()
         assert a == b
         assert all(len(x) > 0 for x in a)
+
+
+class TestAssemblyEmptyWayParity:
+    def test_empty_or_unresolvable_member_ways(self, ray_session):
+        """A member way with ZERO node refs, or whose refs all fail to
+        resolve, behaves like a missing way — dropped, identically in the
+        broadcast and shuffle assembly modes (they used to diverge: the
+        broadcast path appended an empty NodeSeq)."""
+        import ray.data as rd
+
+        from osmptparser_ray.kernel.filters import dicts_to_map_array
+        from osmptparser_ray.stages.assemble import get_public_transports
+        from osmptparser_ray.stages.elements import ParserTables
+
+        relations = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "tags": dicts_to_map_array([{"name": "r1"}, {"name": "r2"}]),
+            "info": dicts_to_map_array([{}, {}]),
+            "way_ids": pa.array([[10, 11], [12]], pa.list_(pa.int64())),
+            "stop_ids": pa.array([[], []], pa.list_(pa.int64())),
+        }))
+        ways = rd.from_arrow(pa.table({
+            "id": pa.array([10, 11, 12], pa.int64()),
+            "tags": dicts_to_map_array([{}, {}, {}]),
+            "info": dicts_to_map_array([{}, {}, {}]),
+            # way 10: zero refs; way 11: resolvable; way 12: all refs missing
+            "node_refs": pa.array([[], [100, 101], [900, 901]], pa.list_(pa.int64())),
+            "is_member": pa.array([True, True, True]),
+            "is_standalone": pa.array([False, False, False]),
+        }))
+        nodes = rd.from_arrow(pa.table({
+            "id": pa.array([100, 101], pa.int64()),
+            "lat": pa.array([-2.0, -2.001], pa.float64()),
+            "lon": pa.array([-79.0, -79.001], pa.float64()),
+            "tags": dicts_to_map_array([{}, {}]),
+        }))
+        tables = ParserTables(relations=relations, ways=ways, nodes=nodes)
+
+        def canon(ds):
+            return sorted(
+                (r["id"], r["status_code"], r["geometry"]) for r in ds.take_all()
+            )
+
+        a = canon(get_public_transports(tables, gap=1500.0, mode="broadcast"))
+        b = canon(get_public_transports(tables, gap=1500.0, mode="shuffle"))
+        assert a == b
+        by_id = {x[0]: x for x in a}
+        assert by_id[1][1] == 0      # the resolvable member flattens OK
+        assert by_id[2][1] == 501    # every member unresolvable -> Broken

@@ -90,6 +90,24 @@ class TestVectorized:
         vals = get_tag_values(t, "route")
         assert vals.tolist() == ["bus", "taxi", "bus", "tram", None]
 
+    def test_duplicate_key_first_occurrence(self):
+        """Arrow maps (and XML <tag> children) may carry duplicate keys; a
+        value conjunct must check only each row's FIRST occurrence of the
+        key (reference tags().find, mod.rs:93) — a later matching
+        duplicate must not rescue the row."""
+        col = pa.array(
+            [
+                [("name", "a"), ("route", "ferry"), ("route", "bus")],
+                [("name", "b"), ("route", "bus"), ("route", "ferry")],
+                [("name", "c"), ("route", "bus")],
+            ],
+            type=pa.map_(pa.string(), pa.string()),
+        )
+        t = pa.table({"id": pa.array([0, 1, 2]), "tags": col})
+        assert TagFilter("name&route=bus").mask_table(t).tolist() == [False, True, True]
+        # presence-only conjuncts are occurrence-agnostic
+        assert TagFilter("route").mask_table(t).tolist() == [True, True, True]
+
     def test_fixture_scale_mask(self):
         fx = load_osm_fixture()
         t = table([w["tags"] for w in fx["ways"]])

@@ -255,6 +255,28 @@ class TestBroadcastParity:
                    for x in knn_join_broadcast(q, t, k=3, radius_m=2000.0).take_all())
         assert a == b and len(a) > 0
 
+    def test_knn_parity_at_polar_clamp(self, ray_session):
+        """cell_neighbors clamps at the latitude boundary by repeating the
+        center cell; the shuffle plan dedups those replicas per target —
+        a duplicated (query, target) candidate pair would otherwise fill
+        two top-k slots and diverge from the broadcast plan."""
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial import knn_join, knn_join_broadcast
+
+        r = np.random.default_rng(9)
+        q = rd.from_arrow(pa.table({
+            "point_id": np.arange(30, dtype=np.int64),
+            "lat": r.uniform(-89.9999, -89.995, 30), "lon": r.uniform(-1.0, 1.0, 30)}))
+        t = rd.from_arrow(pa.table({
+            "target_id": np.arange(500, 560, dtype=np.int64),
+            "lat": r.uniform(-89.9999, -89.995, 60), "lon": r.uniform(-1.0, 1.0, 60)}))
+        a = sorted((x["point_id"], x["rank"], x["neighbor_id"])
+                   for x in knn_join(q, t, k=4, radius_m=2000.0).take_all())
+        b = sorted((x["point_id"], x["rank"], x["neighbor_id"])
+                   for x in knn_join_broadcast(q, t, k=4, radius_m=2000.0).take_all())
+        assert a == b and len(a) > 0
+
     def test_pip_broadcast_equals_join(self, ray_session, stops_polys):
         import pyarrow as pa
         import ray.data as rd

@@ -131,6 +131,35 @@ class TestMinhashLsh:
             assert j >= 0.8
 
 
+    def test_verify_plan_parity_join_vs_broadcast(self, ray_session, corpus):
+        """The distributed verification (two pairs⨝docs hash joins — the
+        path that still works when the corpus exceeds a worker's heap and
+        the id→text broadcast becomes impossible) must return exactly the
+        broadcast plan's pairs and jaccard values."""
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            verify_jaccard,
+        )
+
+        ds = rd.from_items(corpus)
+        sigs = minhash_signatures(ds, num_perm=64, shingle_k=5)
+        pairs = lsh_candidate_pairs(sigs, bands=16).materialize()
+        a = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in verify_jaccard(pairs, ds, threshold=0.8, plan="join").take_all()
+        }
+        b = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in verify_jaccard(pairs, ds, threshold=0.8, plan="broadcast").take_all()
+        }
+        assert set(a) == set(b) and len(a) > 0
+        for k in a:
+            assert a[k] == pytest.approx(b[k])
+
+
 class TestSimhash:
     def test_near_pairs_vs_brute(self, ray_session):
         import ray.data as rd

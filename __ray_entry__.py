@@ -149,6 +149,40 @@ def _q_ptv2_fixture(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_ptv2_from_pbf(sf_dir: str):
+    """The SAME observable as ptv2_fixture, but ingested from the
+    reference's literal ``.osm.pbf`` binary (sources.pbf blob-parallel
+    source) instead of the page corpus — one oracle, two sources: proves
+    the PBF front half feeds the shared pipeline identically."""
+    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pbf
+
+    ds = public_transports_from_pbf("/root/reference/tests/test.pbf", gap=1500.0)
+
+    def project(batch: pa.Table) -> pa.Table:
+        from osmptparser_ray.kernel.filters import get_tag_values
+
+        names = get_tag_values(batch, "name", "tags")
+        versions = get_tag_values(batch, "version", "info")
+        timestamps = get_tag_values(batch, "timestamp", "info")
+        n_stops = pc.list_value_length(batch["stops"])
+        n_geom = [
+            sum(len(seg) for seg in g) for g in batch["geometry"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "id": batch["id"],
+                "name": pa.array(names.tolist(), pa.string()),
+                "version": pa.array(versions.tolist(), pa.string()),
+                "ts": pa.array(timestamps.tolist(), pa.string()),
+                "n_stops": pc.cast(n_stops, pa.int64()),
+                "status_code": batch["status_code"],
+                "n_geom_points": pa.array(n_geom, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
@@ -786,6 +820,7 @@ def _q_admin_areas(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ptv2_fixture": _q_ptv2_fixture,
+        "ptv2_from_pbf": _q_ptv2_from_pbf,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -853,6 +888,16 @@ def oracle_sql() -> dict[str, str]:
         # (tests/integration_test.rs:9-18) + transliteration-verified
         # geometry counts (FIXTURES.md §2)
         "ptv2_fixture": (
+            "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
+            "CAST(n_stops AS BIGINT) AS n_stops, "
+            "CAST(status_code AS BIGINT) AS status_code, "
+            "CAST(n_geom_points AS BIGINT) AS n_geom_points FROM (VALUES "
+            "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
+            "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
+            ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
+        ),
+        # identical golden, PBF-binary ingest path (one oracle, two sources)
+        "ptv2_from_pbf": (
             "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
             "CAST(n_stops AS BIGINT) AS n_stops, "
             "CAST(status_code AS BIGINT) AS status_code, "

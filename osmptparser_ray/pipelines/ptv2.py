@@ -73,3 +73,43 @@ def areas_from_pages(
     )
     areas = get_areas(tables, gap, mode=mode, concurrency=concurrency)
     return cli_area_filter(areas) if cli_parity else areas
+
+
+def parser_tables_from_pbf(
+    pbf_path: str,
+    filters: str,
+    *,
+    dedup: bool = False,
+) -> ParserTables:
+    """``.osm.pbf`` file → ParserTables — the reference's literal entry
+    point (``Parser::new(path, filters)``, mod.rs:147-173) over its native
+    binary input. The blob-parallel source (sources.pbf) replaces the
+    pages→extract front half; every later stage is shared."""
+    from ..sources.pbf import read_pbf_elements
+
+    return build_parser_tables(read_pbf_elements(pbf_path), filters, dedup=dedup)
+
+
+def public_transports_from_pbf(
+    pbf_path: str,
+    gap: float = DEFAULT_GAP,
+    filters: str = PTV2,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+) -> rd.Dataset:
+    """``Parser::new_ptv2(path)`` + ``get_public_transports`` over a real
+    PBF file (the reference README's workload)."""
+    return get_public_transports(parser_tables_from_pbf(pbf_path, filters), gap, mode=mode)
+
+
+def areas_from_pbf(
+    pbf_path: str,
+    gap: float = DEFAULT_GAP,
+    filters: str = AA,
+    *,
+    mode: Literal["broadcast", "shuffle"] = "broadcast",
+    cli_parity: bool = False,
+) -> rd.Dataset:
+    """``Parser::new(path, filters)`` + ``get_areas`` over a real PBF."""
+    areas = get_areas(parser_tables_from_pbf(pbf_path, filters), gap, mode=mode)
+    return cli_area_filter(areas) if cli_parity else areas

@@ -5,6 +5,7 @@ from .pages import (
     synthesize_pages_parquet,
     synthesize_pages_table,
 )
+from .pbf import read_pbf_elements, scan_pbf_blobs
 
 __all__ = [
     "ELEMENT_SCHEMA",
@@ -13,6 +14,8 @@ __all__ = [
     "elements_to_xml",
     "extract_text",
     "parse_osm_payload",
+    "read_pbf_elements",
+    "scan_pbf_blobs",
     "synthesize_pages_parquet",
     "synthesize_pages_table",
 ]

@@ -1,13 +1,20 @@
-"""Multimodal (image/audio/video) column plumbing — real Ray-side, stubbed codec.
+"""Multimodal (image/audio/video) column plumbing — real Ray-side, real
+codecs where the environment allows, stubs elsewhere.
 
 Media travels as opaque ``binary`` columns with typed metadata
 (media_type, width/height or sample_rate, n_bytes). The decode /
 feature-extract stages are actor-pool ``map_batches`` classes whose Ray
 plumbing (schema, batch sizing, actor signature, output layout) is real
-and tested; the actual codec call is isolated behind ``_decode_image`` /
-``_decode_audio`` which raise ``NotImplementedError`` unless
-``fake=True`` (deterministic fake: byte-hash-seeded arrays) — the
-image/audio libraries are not available in this container.
+and tested.
+
+Codec coverage (``fake=False``):
+* audio — REAL for WAV/PCM via the stdlib ``wave`` module (8/16/32-bit,
+  multichannel mixed to mono float32);
+* image — REAL for PPM (P6) and uncompressed 24-bit BMP via pure numpy;
+  PNG/JPEG fall through to PIL when importable, else a clearly-marked
+  ``NotImplementedError`` (no image library in this container);
+* video — stubbed (``NotImplementedError``); no container codec.
+``fake=True`` keeps the deterministic byte-hash-seeded arrays for CI.
 
 Batch-size guidance: media rows are wide — keep ``batch_size`` small
 (``MEDIA_BATCH_SIZE``) so batch × concurrency fits worker heaps, and rely
@@ -17,6 +24,8 @@ on the object store to spill blocks.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -43,20 +52,121 @@ def _fake_seed(payload: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8, pure numpy."""
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster;
+    # '#' comments may appear between tokens
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace before the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return np.frombuffer(payload, np.uint8, w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 RGB, pure numpy."""
+    import struct as st
+
+    data_off = st.unpack_from("<I", payload, 10)[0]
+    w = st.unpack_from("<i", payload, 18)[0]
+    h = st.unpack_from("<i", payload, 22)[0]
+    bpp = st.unpack_from("<H", payload, 28)[0]
+    comp = st.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    buf = np.frombuffer(payload, np.uint8, row * h, offset=data_off).reshape(h, row)
+    img = buf[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
 def _decode_image(payload: bytes, width: int, height: int, fake: bool) -> np.ndarray:
-    """→ (H, W, 3) uint8. STUB: real codec (PIL/cv2) unavailable here."""
-    if not fake:
-        raise NotImplementedError("image codec not available in this container; use fake=True")
-    rng = np.random.default_rng(_fake_seed(payload))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    """→ (H, W, 3) uint8.
+
+    Real paths: PPM (P6) and uncompressed 24-bit BMP via pure numpy; other
+    formats try PIL when importable. ``fake=True`` keeps the deterministic
+    byte-hash-seeded array (CI path)."""
+    if fake:
+        rng = np.random.default_rng(_fake_seed(payload))
+        return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    try:
+        from PIL import Image  # absent in this container; real deployments
+    except ImportError:
+        raise NotImplementedError(
+            "no image library available: only PPM(P6)/BMP decode without PIL"
+        )
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _decode_audio(payload: bytes, sample_rate: int, fake: bool) -> np.ndarray:
-    """→ (n_samples,) float32. STUB: real codec unavailable here."""
-    if not fake:
-        raise NotImplementedError("audio codec not available in this container; use fake=True")
-    rng = np.random.default_rng(_fake_seed(payload))
-    return rng.standard_normal(sample_rate, dtype=np.float32)
+    """→ (n_samples,) float32 mono in [-1, 1].
+
+    Real path: WAV/PCM via the stdlib ``wave`` module (8/16/32-bit,
+    multichannel mixed to mono). ``fake=True`` keeps the deterministic
+    seeded-noise array (CI path)."""
+    if fake:
+        rng = np.random.default_rng(_fake_seed(payload))
+        return rng.standard_normal(sample_rate, dtype=np.float32)
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError("only WAV/PCM decodable without an audio library")
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        ch = f.getnchannels()
+        sw = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr.astype(np.float32)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6) bytes — test/roundtrip helper."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float mono in [-1, 1] → 16-bit PCM WAV bytes — test/roundtrip helper."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(
+            (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
 
 
 class ImageFeatureExtractor:
@@ -77,6 +187,9 @@ class ImageFeatureExtractor:
         means = np.zeros((len(ids), 3), dtype=np.float64)
         for i, (p, w, h) in enumerate(zip(payloads, ws, hs)):
             img = _decode_image(p, w, h, self.fake)
+            # the decoded image's OWN shape wins (real codecs read it from
+            # the payload; the meta columns are advisory)
+            h, w = img.shape[:2]
             # mean-pool resize to out_size×out_size (vectorized reshape-mean
             # when divisible, else crop to the largest divisible region)
             s = self.out_size
@@ -152,7 +265,7 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 def image_features(media: rd.Dataset, out_size: int = 32, fake: bool = True) -> rd.Dataset:
     imgs = media.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["media_type"], "image/png")),
+        lambda t: t.filter(pa.compute.starts_with(t["media_type"], "image/")),
         batch_format="pyarrow",
     )
     return imgs.map_batches(
@@ -166,7 +279,7 @@ def image_features(media: rd.Dataset, out_size: int = 32, fake: bool = True) -> 
 
 def audio_frames(media: rd.Dataset, fake: bool = True) -> rd.Dataset:
     auds = media.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["media_type"], "audio/wav")),
+        lambda t: t.filter(pa.compute.starts_with(t["media_type"], "audio/")),
         batch_format="pyarrow",
     )
     return auds.map_batches(

@@ -37,50 +37,110 @@ def explode_stops(pt: rd.Dataset) -> rd.Dataset:
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        rids = batch["id"].to_pylist()
-        stops_col = batch["stops"].to_pylist()
-        out = {"stop_id": [], "route_id": [], "lat": [], "lon": []}
-        for rid, stops in zip(rids, stops_col):
-            for s in stops:
-                out["stop_id"].append(s["id"])
-                out["route_id"].append(rid)
-                out["lat"].append(s["lat"])
-                out["lon"].append(s["lon"])
+        # Arrow-offset flatten, zero per-stop Python (to_pylist of the
+        # nested stops column was the dominant cost of this stage)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stops = batch["stops"].combine_chunks()
+        counts = np.diff(np.asarray(stops.offsets))
+        st = stops.flatten()
         return pa.table(
             {
-                "stop_id": pa.array(out["stop_id"], pa.int64()),
-                "route_id": pa.array(out["route_id"], pa.int64()),
-                "lat": pa.array(out["lat"], pa.float64()),
-                "lon": pa.array(out["lon"], pa.float64()),
+                "stop_id": st.field("id"),
+                "route_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "lat": st.field("lat"),
+                "lon": st.field("lon"),
             }
         )
 
     return pt.map_batches(explode, batch_format="pyarrow")
 
 
-def unique_stops(stops: rd.Dataset) -> rd.Dataset:
-    """Distinct stop points — local per-batch dedup (combiner) then a
-    groupby-aggregate over the much smaller residue. All duplicates of a
-    stop id carry identical coords, so Min(lat)/Min(lon) is exact."""
-    from ray.data.aggregate import Min
+def unique_stops(stops: rd.Dataset, plan: str = "collect") -> rd.Dataset:
+    """Distinct stop points. All duplicates of a stop id carry identical
+    coords, so any-wins dedup is exact.
 
-    def local_dedup(batch: pa.Table) -> pa.Table:
-        ids = batch["stop_id"].to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(ids, return_index=True)
-        take = pa.array(np.sort(first_idx), pa.int64())
+    ``plan="collect"`` (default): per-block dedup runs distributed (map
+    tasks emit packed sorted-unique triples), the driver merges the
+    already-small parts and re-distributes one Arrow table — no hash
+    shuffle, so no aggregator-actor spin-up (~2 s fixed cost measured on
+    this Ray version). Right whenever unique stops fit driver memory —
+    the same contract the broadcast join plans already assume.
+    ``plan="groupby"``: the shuffle realization for corpora whose stop
+    table itself is huge (pairs with the shuffle join plans).
+    """
+    if plan == "groupby":
+        from ray.data.aggregate import Min
+
+        def local_dedup(batch: pa.Table) -> pa.Table:
+            ids = batch["stop_id"].to_numpy(zero_copy_only=False)
+            _, first_idx = np.unique(ids, return_index=True)
+            take = pa.array(np.sort(first_idx), pa.int64())
+            return pa.table(
+                {
+                    "stop_id": batch["stop_id"].take(take),
+                    "lat": batch["lat"].take(take),
+                    "lon": batch["lon"].take(take),
+                }
+            )
+
+        return (
+            stops.map_batches(local_dedup, batch_format="pyarrow")
+            .groupby("stop_id")
+            .aggregate(Min("lat", alias_name="lat"), Min("lon", alias_name="lon"))
+        )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch["stop_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, first_idx = np.unique(ids, return_index=True)
+        lats = batch["lat"].to_numpy(zero_copy_only=False)[first_idx]
+        lons = batch["lon"].to_numpy(zero_copy_only=False)[first_idx]
         return pa.table(
             {
-                "stop_id": batch["stop_id"].take(take),
-                "lat": batch["lat"].take(take),
-                "lon": batch["lon"].take(take),
+                "ids": pa.array([uniq.tobytes()], pa.binary()),
+                "lats": pa.array([lats.tobytes()], pa.binary()),
+                "lons": pa.array([lons.tobytes()], pa.binary()),
             }
         )
 
-    return (
-        stops.map_batches(local_dedup, batch_format="pyarrow")
-        .groupby("stop_id")
-        .aggregate(Min("lat", alias_name="lat"), Min("lon", alias_name="lon"))
+    id_parts, lat_parts, lon_parts = [], [], []
+    packed = stops.map_batches(pack, batch_format="pyarrow", batch_size=1 << 17)
+    for b in packed.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for i_, la_, lo_ in zip(
+            b["ids"].to_pylist(), b["lats"].to_pylist(), b["lons"].to_pylist()
+        ):
+            id_parts.append(np.frombuffer(i_, np.int64))
+            lat_parts.append(np.frombuffer(la_, np.float64))
+            lon_parts.append(np.frombuffer(lo_, np.float64))
+    if not id_parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "stop_id": pa.array([], pa.int64()),
+                    "lat": pa.array([], pa.float64()),
+                    "lon": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ids = np.concatenate(id_parts)
+    lats = np.concatenate(lat_parts)
+    lons = np.concatenate(lon_parts)
+    uniq, first_idx = np.unique(ids, return_index=True)
+    merged = pa.table(
+        {
+            "stop_id": pa.array(uniq, pa.int64()),
+            "lat": pa.array(lats[first_idx], pa.float64()),
+            "lon": pa.array(lons[first_idx], pa.float64()),
+        }
     )
+    # re-distribute as MANY blocks — a single from_arrow block would
+    # serialize every downstream map stage onto one worker
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    n_blocks = max(1, min(2 * cpus, merged.num_rows))
+    step = -(-merged.num_rows // n_blocks)
+    slices = [merged.slice(i, step) for i in range(0, merged.num_rows, step)]
+    return rd.from_arrow(slices)
 
 
 def route_hulls(pt: rd.Dataset) -> rd.Dataset:
@@ -93,26 +153,51 @@ def route_hulls(pt: rd.Dataset) -> rd.Dataset:
     """
 
     def hulls(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_pylist()
-        geoms = batch["geometry"].to_pylist()
-        stops_col = batch["stops"].to_pylist()
+        # Arrow-offset flattening instead of to_pylist: nested
+        # list<list<struct>> → flat lat/lon numpy + per-route boundaries
+        # (converting every geometry point to a python dict was the
+        # dominant cost of this stage). The per-route convex_hull call
+        # stays a loop, but over numpy slices only.
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        geom = batch["geometry"].combine_chunks()
+        # offsets are normalized to zero-base so they index the FLATTENED
+        # child arrays even when the parent is a sliced view
+        outer_off = np.asarray(geom.offsets)  # route → segment range
+        outer_off = outer_off - outer_off[0]
+        segs = geom.flatten()
+        inner_off = np.asarray(segs.offsets)  # segment → point range
+        inner_off = inner_off - inner_off[0]
+        pts = segs.flatten()
+        g_lats = pts.field("lat").to_numpy(zero_copy_only=False)
+        g_lons = pts.field("lon").to_numpy(zero_copy_only=False)
+        route_pt_bounds = inner_off[outer_off]  # flat point idx at route starts
+
+        stops_arr = batch["stops"].combine_chunks()
+        stop_off = np.asarray(stops_arr.offsets)
+        stop_off = stop_off - stop_off[0]
+        stop_struct = stops_arr.flatten()
+        s_lats = stop_struct.field("lat").to_numpy(zero_copy_only=False)
+        s_lons = stop_struct.field("lon").to_numpy(zero_copy_only=False)
+
         out_ids, out_la, out_lo = [], [], []
-        for rid, geom, stops in zip(ids, geoms, stops_col):
-            lats = [p["lat"] for seg in geom for p in seg] + [s["lat"] for s in stops]
-            lons = [p["lon"] for seg in geom for p in seg] + [s["lon"] for s in stops]
+        for i in range(len(ids)):
+            ga, gb = route_pt_bounds[i], route_pt_bounds[i + 1]
+            sa, sb = stop_off[i], stop_off[i + 1]
+            lats = np.concatenate([g_lats[ga:gb], s_lats[sa:sb]])
             if len(lats) < 3:
                 continue
-            hy, hx = convex_hull(np.array(lats), np.array(lons))
+            lons = np.concatenate([g_lons[ga:gb], s_lons[sa:sb]])
+            hy, hx = convex_hull(lats, lons)
             if len(hy) < 3:
                 continue
-            out_ids.append(rid)
-            out_la.append(hy.tolist())
-            out_lo.append(hx.tolist())
+            out_ids.append(int(ids[i]))
+            out_la.append(hy)
+            out_lo.append(hx)
         return pa.table(
             {
                 "poly_id": pa.array(out_ids, pa.int64()),
-                "ring_lats": pa.array(out_la, pa.list_(pa.float64())),
-                "ring_lons": pa.array(out_lo, pa.list_(pa.float64())),
+                "ring_lats": pa.array([a.tolist() for a in out_la], pa.list_(pa.float64())),
+                "ring_lons": pa.array([a.tolist() for a in out_lo], pa.list_(pa.float64())),
             }
         )
 

@@ -191,12 +191,14 @@ def _attrs(s: str) -> dict:
 
 
 def parse_osm_payload_fast(payload: str, out: dict[str, list]) -> int:
-    """Regex-based OSM XML payload parser — ~2x the ET parser on this
-    corpus shape (flat elements, attribute-only children, double-quoted
-    attributes, standard entities). Differential-tested byte-exact against
-    ``parse_osm_payload`` (tests/test_fast_parser.py); falls outside its
-    contract (CDATA, comments, single quotes, nested markup) → use the ET
-    parser.
+    """Regex-based OSM XML payload parser (flat elements, attribute-only
+    children, double-quoted attributes, standard entities).
+
+    NOTE measured SLOWER than the C-accelerated ET parser on this corpus
+    (~2x) — its value is as a differential cross-check of extraction
+    (byte-exact against ``parse_osm_payload``, tests/test_fast_parser.py),
+    not as a fast path. Falls outside its contract (CDATA, comments,
+    single quotes, nested markup) → use the ET parser.
     """
     if not payload or not payload.strip():
         return 0

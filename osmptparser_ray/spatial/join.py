@@ -229,35 +229,101 @@ def pip_join_broadcast(
 ) -> rd.Dataset:
     """PIP join with the POLYGON side broadcast (classic small-side plan).
 
-    Collects all rings to the driver once (``ray.put``), then a single
-    map_batches over the point stream does bbox-prefilter + exact ray-cast
-    per polygon — zero shuffle. Use when polygons fit comfortably in
-    memory (≲10^5 rings); ``pip_join`` is the big-big shuffle plan.
-    Results identical to ``pip_join`` (same kernel).
+    Collects all rings to the driver once (``ray.put``) along with a
+    coarse CELL INDEX over their bboxes; each point batch looks up only
+    the polygons registered in its points' cells instead of scanning
+    every polygon per batch (with R polygons and B batches the naive scan
+    is O(R·B) bbox tests — the index makes a batch's work proportional to
+    its actual candidates). Exact ray-cast refine per candidate; zero
+    shuffle. Use when polygons fit comfortably in memory (≲10^5 rings);
+    ``pip_join`` is the big-big shuffle plan. Results identical to
+    ``pip_join`` (same kernel).
     """
     import ray
 
-    rings: list[tuple[int, bytes, float, float, float, float]] = []
-    for b in polygons.iter_batches(batch_size=1 << 14, batch_format="pyarrow"):
-        for gid, la, lo in zip(
-            b[poly_id].to_pylist(), b[ring_lat_col].to_pylist(), b[ring_lon_col].to_pylist()
-        ):
-            if not la:
+    # Per-ring prep (pack, bbox) runs DISTRIBUTED; the driver only drains
+    # scalar rows and builds the cell index. (Collecting the rings via
+    # to_pylist + per-ring packing on the driver was this plan's dominant
+    # serial cost at high CPU counts.)
+    def _ring_rows(b: pa.Table) -> pa.Table:
+        gids = b[poly_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        la_col = b[ring_lat_col].combine_chunks()
+        lo_col = b[ring_lon_col].combine_chunks()
+        off = np.asarray(la_col.offsets)
+        off = off - off[0]
+        la_flat = la_col.flatten().to_numpy(zero_copy_only=False)
+        lo_flat = lo_col.flatten().to_numpy(zero_copy_only=False)
+        out = {"gid": [], "blob": [], "min_lon": [], "min_lat": [], "max_lon": [], "max_lat": []}
+        for i in range(len(gids)):
+            a, z = off[i], off[i + 1]
+            if z <= a:
                 continue
-            blob = pack_ring(la, lo)
-            min_lon, min_lat, max_lon, max_lat = ring_bbox(la, lo)
-            rings.append((gid, blob, min_lon, min_lat, max_lon, max_lat))
-    rings_ref = ray.put(rings)
+            ry, rx = la_flat[a:z], lo_flat[a:z]
+            out["gid"].append(int(gids[i]))
+            out["blob"].append(np.stack([ry, rx], axis=1).tobytes())
+            out["min_lon"].append(float(rx.min()))
+            out["min_lat"].append(float(ry.min()))
+            out["max_lon"].append(float(rx.max()))
+            out["max_lat"].append(float(ry.max()))
+        return pa.table(
+            {
+                "gid": pa.array(out["gid"], pa.int64()),
+                "blob": pa.array(out["blob"], pa.binary()),
+                "min_lon": pa.array(out["min_lon"], pa.float64()),
+                "min_lat": pa.array(out["min_lat"], pa.float64()),
+                "max_lon": pa.array(out["max_lon"], pa.float64()),
+                "max_lat": pa.array(out["max_lat"], pa.float64()),
+            }
+        )
+
+    rings: list[tuple[int, bytes, float, float, float, float]] = []
+    for b in polygons.map_batches(_ring_rows, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 14, batch_format="pyarrow"
+    ):
+        rings.extend(
+            zip(
+                b["gid"].to_pylist(),
+                b["blob"].to_pylist(),
+                b["min_lon"].to_pylist(),
+                b["min_lat"].to_pylist(),
+                b["max_lon"].to_pylist(),
+                b["max_lat"].to_pylist(),
+            )
+        )
+
+    # coarse bbox-cover index: level chosen so a typical ring's bbox spans
+    # O(1) cells (median bbox extent ≈ cell size), clamped to [4, 14]
+    if rings:
+        extents = np.array(
+            [max(r[4] - r[2], r[5] - r[3], 1e-9) for r in rings], dtype=np.float64
+        )
+        med = float(np.median(extents))
+        index_level = int(np.clip(np.floor(np.log2(180.0 / med)), 4, 14))
+    else:
+        index_level = 8
+    cell_to_polys: dict = {}
+    for i, (_gid, _blob, min_lon, min_lat, max_lon, max_lat) in enumerate(rings):
+        for c in cover_bbox(min_lon, min_lat, max_lon, max_lat, index_level):
+            cell_to_polys.setdefault(int(c), []).append(i)
+    index = {c: np.array(v, dtype=np.int64) for c, v in cell_to_polys.items()}
+    rings_ref = ray.put((rings, index, index_level))
 
     def refine(batch: pa.Table) -> pa.Table:
         from ..util import cached_get
 
-        polys = cached_get(rings_ref)
+        polys, idx, lvl = cached_get(rings_ref)
         pids = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
         lats = batch[lat_col].to_numpy(zero_copy_only=False)
         lons = batch[lon_col].to_numpy(zero_copy_only=False)
         out_p, out_g = [], []
-        for gid, blob, min_lon, min_lat, max_lon, max_lat in polys:
+        cand_polys: set = set()
+        if len(lats):
+            for c in np.unique(encode_cell(lats, lons, lvl)):
+                hit = idx.get(int(c))
+                if hit is not None:
+                    cand_polys.update(hit.tolist())
+        for pi in sorted(cand_polys):
+            gid, blob, min_lon, min_lat, max_lon, max_lat = polys[pi]
             cand = (
                 (lats >= min_lat) & (lats <= max_lat) & (lons >= min_lon) & (lons <= max_lon)
             )
@@ -336,56 +402,53 @@ def knn_join_broadcast(
         qids = batch[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
         qlats = batch[lat_col].to_numpy(zero_copy_only=False)
         qlons = batch[lon_col].to_numpy(zero_copy_only=False)
+        # Whole-batch vectorization, no per-cell-group Python loop (most
+        # groups hold O(1) queries, so a group loop is Python-bound):
+        # every query's deduped 3×3 neighborhood expands to candidate
+        # RANGES of the cell-sorted target arrays via two searchsorted
+        # calls; the ragged ranges flatten with the cumsum/repeat trick;
+        # one haversine over all (query, candidate) pairs; top-k per query
+        # via a single lexsort + within-group cumcount.
         qcells = encode_cell(qlats, qlons, lvl)
-        # process queries grouped by their cell: candidates = the 9 cell
-        # ranges of the sorted target arrays (exact within radius_m because
-        # the cell height at lvl ≥ radius_m); per-group haversine matrices
-        # stay tiny, no giant (Q, T) allocation
-        q_order = np.argsort(qcells, kind="stable")
-        bounds = np.nonzero(np.diff(qcells[q_order]))[0] + 1
-        out_q, out_n, out_d, out_r = [], [], [], []
-        for grp in np.split(q_order, bounds):
-            cell = np.uint64(qcells[grp[0]])
-            neigh = cell_neighbors(np.array([cell], dtype=np.uint64))[0]
-            cand_parts = []
-            for c in np.unique(neigh):
-                lo = np.searchsorted(tcells_s, c, side="left")
-                hi = np.searchsorted(tcells_s, c, side="right")
-                if hi > lo:
-                    cand_parts.append(np.arange(lo, hi))
-            if not cand_parts:
-                continue
-            cand = np.concatenate(cand_parts)
-            d = haversine_m_vec(
-                qlats[grp][:, None],
-                qlons[grp][:, None],
-                tlats_s[cand][None, :],
-                tlons_s[cand][None, :],
-            )
-            kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(d.shape[0])[:, None]
-            dk = d[rows, idx]
-            tk = tids_s[cand][idx]
-            order = np.lexsort((tk, dk), axis=1)
-            idx = idx[rows, order]
-            dk = dk[rows, order]
-            tk = tk[rows, order]
-            for qi in range(d.shape[0]):
-                mask = dk[qi] <= radius_m
-                nn = tk[qi][mask]
-                out_q.append(np.full(len(nn), qids[grp[qi]], dtype=np.int64))
-                out_n.append(nn)
-                out_d.append(dk[qi][mask])
-                out_r.append(np.arange(1, len(nn) + 1, dtype=np.int64))
-        if not out_q:
+        neigh = np.sort(cell_neighbors(qcells), axis=1)  # (B, 9)
+        nkeep = np.ones(neigh.shape, dtype=bool)
+        nkeep[:, 1:] = neigh[:, 1:] != neigh[:, :-1]
+        flat_cells = neigh[nkeep]
+        flat_q = np.repeat(np.arange(len(qids)), nkeep.sum(axis=1))
+        lo = np.searchsorted(tcells_s, flat_cells, side="left")
+        hi = np.searchsorted(tcells_s, flat_cells, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
             return empty
+        run_ends = np.cumsum(counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(run_ends - counts, counts)
+        tcand = np.repeat(lo, counts) + offs
+        qcand = np.repeat(flat_q, counts)
+        d = haversine_m_vec(qlats[qcand], qlons[qcand], tlats_s[tcand], tlons_s[tcand])
+        m = d <= radius_m
+        if not m.any():
+            return empty
+        qc, tc, dc = qcand[m], tcand[m], d[m]
+        tid_c = tids_s[tc]
+        order = np.lexsort((tid_c, dc, qc))  # (query, dist, neighbor-id ties)
+        qc, tid_c, dc = qc[order], tid_c[order], dc[order]
+        first = np.ones(len(qc), dtype=bool)
+        first[1:] = qc[1:] != qc[:-1]
+        group_start = np.nonzero(first)[0]
+        counts_g = np.diff(np.append(group_start, len(qc)))
+        ranks = (
+            np.arange(len(qc), dtype=np.int64)
+            - np.repeat(group_start, counts_g)
+            + 1
+        )
+        keep_k = ranks <= k
         return pa.table(
             {
-                "point_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "dist_m": pa.array(np.concatenate(out_d), pa.float64()),
-                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+                "point_id": pa.array(qids[qc[keep_k]], pa.int64()),
+                "neighbor_id": pa.array(tid_c[keep_k], pa.int64()),
+                "dist_m": pa.array(dc[keep_k], pa.float64()),
+                "rank": pa.array(ranks[keep_k], pa.int64()),
             }
         )
 

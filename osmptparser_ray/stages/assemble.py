@@ -215,16 +215,40 @@ class NodeIndex(NamedTuple):
 
 
 def build_way_index(ways: rd.Dataset) -> WayIndex:
-    """Member ways → WayIndex; fully vectorized collection (ids/lengths/flat
-    refs as numpy, one argsort)."""
-    ids_parts, len_parts, ref_parts = [], [], []
-    cols = ["id", "node_refs", "is_member"]
-    for b in ways.select_columns(cols).iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+    """Member ways → WayIndex.
+
+    The per-block work (member filter, list flatten, int64 casts) runs
+    DISTRIBUTED — map tasks emit one packed binary blob triple per block,
+    and the driver only ``frombuffer``s + concatenates + does the single
+    final argsort. At high CPU counts the driver-side share of the index
+    build is the serial floor of the broadcast assembly plan; this keeps
+    it at memcpy + one sort."""
+
+    def pack(b: pa.Table) -> pa.Table:
         b = b.filter(b["is_member"])
         refs = b["node_refs"].combine_chunks()
-        ids_parts.append(b["id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        len_parts.append(pc.list_value_length(refs).to_numpy(zero_copy_only=False).astype(np.int64))
-        ref_parts.append(refs.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(refs).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = refs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ids": pa.array([ids.tobytes()], pa.binary()),
+                "lens": pa.array([lens.tobytes()], pa.binary()),
+                "refs": pa.array([flat.tobytes()], pa.binary()),
+            }
+        )
+
+    ids_parts, len_parts, ref_parts = [], [], []
+    packed = ways.select_columns(["id", "node_refs", "is_member"]).map_batches(
+        pack, batch_format="pyarrow", batch_size=1 << 17
+    )
+    for b in packed.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for i_, l_, r_ in zip(
+            b["ids"].to_pylist(), b["lens"].to_pylist(), b["refs"].to_pylist()
+        ):
+            ids_parts.append(np.frombuffer(i_, np.int64))
+            len_parts.append(np.frombuffer(l_, np.int64))
+            ref_parts.append(np.frombuffer(r_, np.int64))
     if not ids_parts:
         z = np.empty(0, np.int64)
         return WayIndex(z, z, np.zeros(1, np.int64), z)
@@ -245,29 +269,70 @@ def build_way_index(ways: rd.Dataset) -> WayIndex:
 
 def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -> NodeIndex:
     """Nodes → NodeIndex; tags kept (columnar) only for ``stop_ids`` (or all
-    nodes when ``stop_ids`` is None)."""
-    id_parts, lat_parts, lon_parts = [], [], []
-    stop_id_parts: list = []
-    stop_tag_tables: list = []
+    nodes when ``stop_ids`` is None).
+
+    Like ``build_way_index``, the per-block conversion (casts, stop-id
+    membership filter, tag sub-array slicing) runs distributed; blobs come
+    back packed (numpy buffers + one Arrow-IPC stream for the tag arrays)
+    and the driver's share is memcpy + the two final argsorts."""
     stop_sorted = (
         np.sort(np.asarray(stop_ids, dtype=np.int64)) if stop_ids is not None else None
     )
-    for b in nodes.iter_batches(batch_size=1 << 17, batch_format="pyarrow"):
+    stop_ref = ray.put(stop_sorted)
+
+    def pack(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        stops_s = cached_get(stop_ref)
         ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        id_parts.append(ids)
-        lat_parts.append(b["lat"].to_numpy(zero_copy_only=False))
-        lon_parts.append(b["lon"].to_numpy(zero_copy_only=False))
-        if stop_sorted is not None and len(stop_sorted):
-            pos = np.searchsorted(stop_sorted, ids)
-            pos_c = np.minimum(pos, len(stop_sorted) - 1)
-            hit = stop_sorted[pos_c] == ids
-            if hit.any():
-                mask = pa.array(hit)
-                stop_id_parts.append(ids[hit])
-                stop_tag_tables.append(b["tags"].combine_chunks().filter(mask))
-        elif stop_sorted is None:
-            stop_id_parts.append(ids)
-            stop_tag_tables.append(b["tags"].combine_chunks())
+        lats = b["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lons = b["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if stops_s is not None:
+            if len(stops_s):
+                pos = np.searchsorted(stops_s, ids)
+                pos_c = np.minimum(pos, len(stops_s) - 1)
+                hit = stops_s[pos_c] == ids
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
+            sids = ids[hit]
+            stags = b["tags"].combine_chunks().filter(pa.array(hit))
+        else:
+            sids = ids
+            stags = b["tags"].combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, pa.schema([pa.field("tags", TAGS_T)])) as w:
+            w.write_table(pa.table({"tags": stags}))
+        return pa.table(
+            {
+                "ids": pa.array([ids.tobytes()], pa.binary()),
+                "lats": pa.array([lats.tobytes()], pa.binary()),
+                "lons": pa.array([lons.tobytes()], pa.binary()),
+                "sids": pa.array([sids.tobytes()], pa.binary()),
+                "stags_ipc": pa.array([sink.getvalue().to_pybytes()], pa.binary()),
+            }
+        )
+
+    id_parts, lat_parts, lon_parts = [], [], []
+    stop_id_parts: list = []
+    stop_tag_tables: list = []
+    packed = nodes.map_batches(pack, batch_format="pyarrow", batch_size=1 << 17)
+    for b in packed.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for i_, la_, lo_, s_, tg_ in zip(
+            b["ids"].to_pylist(),
+            b["lats"].to_pylist(),
+            b["lons"].to_pylist(),
+            b["sids"].to_pylist(),
+            b["stags_ipc"].to_pylist(),
+        ):
+            id_parts.append(np.frombuffer(i_, np.int64))
+            lat_parts.append(np.frombuffer(la_, np.float64))
+            lon_parts.append(np.frombuffer(lo_, np.float64))
+            sids = np.frombuffer(s_, np.int64)
+            if len(sids):
+                stop_id_parts.append(sids)
+                stop_tag_tables.append(
+                    pa.ipc.open_stream(tg_).read_all()["tags"].combine_chunks()
+                )
     empty_tags = pa.array([], TAGS_T)
     if not id_parts:
         z = np.empty(0, np.int64)

@@ -283,9 +283,9 @@ def build_parser_tables(
     relations = relations.repartition(max(2, cpus)).materialize()
 
     # broadcast side 1: member way ids (+ stop ids for the node pass)
-    way_id_arr = _flatten_list_column(relations, "way_ids")
-    stop_id_arr = _flatten_list_column(relations, "stop_ids")
-    way_ids_ref = ray.put(np.unique(way_id_arr))
+    way_id_arr = _flatten_unique_list_column(relations, "way_ids")
+    stop_id_arr = _flatten_unique_list_column(relations, "stop_ids")
+    way_ids_ref = ray.put(way_id_arr)
 
     ways = elements.map_batches(
         partial(_project_ways, way_ids_ref=way_ids_ref, filters=filters),
@@ -296,7 +296,7 @@ def build_parser_tables(
     ways = ways.materialize()  # ids + refs of matched ways: small vs corpus
 
     # broadcast side 2: referenced node ids = way refs ∪ stop ids
-    ref_arr = _flatten_list_column(ways, "node_refs")
+    ref_arr = _flatten_unique_list_column(ways, "node_refs")
     node_ids_ref = ray.put(np.unique(np.concatenate([ref_arr, stop_id_arr])))
 
     nodes = elements.map_batches(
@@ -317,6 +317,34 @@ def _flatten_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(parts)
+
+
+def _flatten_unique_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
+    """SORTED-UNIQUE flat values of a list<int64> column.
+
+    The flatten + per-block dedup runs DISTRIBUTED (map tasks emit one
+    packed binary blob of each block's sorted-unique values); the driver
+    only concatenates the already-deduped parts and takes the final
+    unique — the per-block flatten/astype work and the within-block
+    duplicate volume never hit the driver thread. This is the
+    broadcast-side id-set builder (semi-joins J1/J2), part of the serial
+    floor at high CPU counts."""
+
+    def blob(batch: pa.Table) -> pa.Table:
+        col = batch[column].combine_chunks()
+        a = np.unique(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"blob": pa.array([a.tobytes()], pa.binary())})
+
+    parts: list[np.ndarray] = []
+    for b in ds.select_columns([column]).map_batches(
+        blob, batch_format="pyarrow", batch_size=1 << 18
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for raw in b["blob"].to_pylist():
+            if raw:
+                parts.append(np.frombuffer(raw, np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def ingest_elements(

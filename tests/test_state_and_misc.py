@@ -175,3 +175,102 @@ class TestResumableIngest:
         assert by["public_transports"] == 2
         assert by["stops"] == 32
         assert set(by) == {"public_transports", "stops", "pip", "knn", "tiles"}
+
+
+class TestRealCodecs:
+    """Real decode paths: WAV via stdlib wave, PPM/BMP via pure numpy."""
+
+    def test_wav_roundtrip_exact(self):
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_audio, encode_wav_pcm16
+
+        t = np.arange(16000, dtype=np.float64) / 16000.0
+        sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+        payload = encode_wav_pcm16(sig, 16000)
+        got = _decode_audio(payload, 16000, fake=False)
+        assert got.dtype == np.float32 and len(got) == 16000
+        # 16-bit quantization (1 LSB truncation + 32767/32768 scale skew)
+        assert np.abs(got - sig).max() < 1e-4
+
+    def test_ppm_roundtrip_exact(self):
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_image, encode_ppm
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        got = _decode_image(encode_ppm(img), 0, 0, fake=False)
+        assert np.array_equal(got, img)
+
+    def test_bmp_decode(self):
+        import struct
+
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_image
+
+        # hand-build a 3x2 bottom-up 24-bit BMP
+        w, h = 3, 2
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        row = (w * 3 + 3) & ~3
+        raster = np.zeros((h, row), np.uint8)
+        for y in range(h):
+            raster[y, : w * 3] = img[h - 1 - y, :, ::-1].reshape(-1)  # bottom-up BGR
+        data = raster.tobytes()
+        header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        got = _decode_image(header + data, 0, 0, fake=False)
+        assert np.array_equal(got, img)
+
+    def test_image_features_real_ppm_pipeline(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.multimodal import MEDIA_SCHEMA, encode_ppm, image_features
+
+        # constant-color images -> feature means are exactly the colors
+        colors = [(10, 20, 30), (200, 100, 50)]
+        rows = {k: [] for k in MEDIA_SCHEMA.names}
+        for i, c in enumerate(colors):
+            img = np.full((64, 64, 3), c, np.uint8)
+            p = encode_ppm(img)
+            rows["media_id"].append(i)
+            rows["media_type"].append("image/ppm")
+            rows["payload"].append(p)
+            rows["meta_width"].append(64)
+            rows["meta_height"].append(64)
+            rows["meta_sample_rate"].append(0)
+            rows["n_bytes"].append(len(p))
+        media = rd.from_arrow(
+            pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type) for n in MEDIA_SCHEMA.names})
+        )
+        got = sorted(image_features(media, fake=False).take_all(), key=lambda r: r["media_id"])
+        for r, c in zip(got, colors):
+            assert (r["feat_mean_r"], r["feat_mean_g"], r["feat_mean_b"]) == c
+
+    def test_audio_frames_real_wav_pipeline(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.multimodal import MEDIA_SCHEMA, encode_wav_pcm16, audio_frames
+
+        # constant-amplitude square wave -> per-frame RMS == amplitude
+        amp = 0.25
+        sig = np.where(np.arange(8192) % 2 == 0, amp, -amp)
+        p = encode_wav_pcm16(sig, 16000)
+        rows = {
+            "media_id": [7], "media_type": ["audio/wav"], "payload": [p],
+            "meta_width": [0], "meta_height": [0], "meta_sample_rate": [16000],
+            "n_bytes": [len(p)],
+        }
+        media = rd.from_arrow(
+            pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type) for n in MEDIA_SCHEMA.names})
+        )
+        got = audio_frames(media, fake=False).take_all()
+        assert len(got) == 8  # 8192 samples / 1024 frame_len
+        for r in got:
+            assert abs(r["rms"] - amp) < 1e-3

@@ -630,21 +630,39 @@ def knn_join(
     agg = near.groupby("point_id").aggregate(_topk_aggregate(k))
 
     def explode(batch: pa.Table) -> pa.Table:
-        pids = batch["point_id"].to_numpy(zero_copy_only=False)
-        lists = batch["topk"].to_pylist()
-        out_p, out_n, out_d, out_r = [], [], [], []
-        for pid, lst in zip(pids, lists):
-            for r, item in enumerate(lst, 1):
-                out_p.append(int(pid))
-                out_n.append(item["neighbor_id"])
-                out_d.append(item["dist_m"])
-                out_r.append(r)
+        empty = pa.table(
+            {
+                "point_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist_m": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        # Arrow-offset flatten of the per-query top-k lists (no per-row
+        # Python); ranks restart 1..count per list via the cumsum trick
+        pids = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        topk = batch["topk"].combine_chunks()
+        counts = np.diff(np.asarray(topk.offsets))
+        st = topk.flatten()
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        run_ends = np.cumsum(counts)
+        ranks = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(run_ends - counts, counts)
+            + 1
+        )
+        import pyarrow.compute as _pc
+
         return pa.table(
             {
-                "point_id": pa.array(out_p, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "dist_m": pa.array(out_d, pa.float64()),
-                "rank": pa.array(out_r, pa.int64()),
+                "point_id": pa.array(np.repeat(pids, counts), pa.int64()),
+                "neighbor_id": _pc.cast(st.field("neighbor_id"), pa.int64()),
+                "dist_m": _pc.cast(st.field("dist_m"), pa.float64()),
+                "rank": pa.array(ranks, pa.int64()),
             }
         )
 

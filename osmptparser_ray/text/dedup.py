@@ -180,7 +180,10 @@ def lsh_candidate_pairs(
     # verification dedups via groupby-aggregate (also vectorized).
     import ray
 
-    rows = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    # materialize the band rows: BOTH sides of the self-join consume them,
+    # and a lazy plan would otherwise recompute the upstream minhash
+    # signatures twice (the dominant cost of the whole pipeline)
+    rows = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
     left = rows.map_batches(
         lambda t: pa.table(
             {"band": t["band"], "band_hash": t["band_hash"], "doc_a": t[id_col]}
@@ -217,34 +220,31 @@ def verify_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
-    plan: str = "join",
+    plan: str = "pruned",
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Exact shingle-Jaccard verification of candidate pairs.
 
-    Default plan (``"join"``, the at-scale path): candidate pairs are first
-    deduped with a groupby-aggregate (a pair surfaced by several LSH bands
-    would otherwise be verified once PER BAND), then two hash joins carry
-    each side's text onto the pair row (pairs ⨝ docs on doc_a, then on
-    doc_b) and a per-batch kernel computes shingle Jaccard. Nothing is
-    collected on the driver; pairs << corpus by construction, so both
-    joins are pair-sized, not corpus-sized.
+    Plans (all dedup pairs surfaced by several LSH bands before scoring):
 
-    ``plan="broadcast"`` keeps the id→text broadcast variant for SMALL
-    corpora only (every worker holds all texts — fine for fixture-scale
-    tests, unusable when the corpus exceeds a worker heap).
+    * ``"pruned"`` (default): the candidate pairs — which are << corpus
+      by CONSTRUCTION (they are the thing verification outputs) — are
+      drained once to the driver, deduped there (no shuffle at all), and
+      their id set broadcast; the docs table is then semi-join-PRUNED by
+      a distributed map-side filter and only the O(|pairs|) matching
+      texts are collected for the verify stage. The corpus itself always
+      streams.
+    * ``"join"``: two hash joins carry each side's text onto the pair row
+      (pairs ⨝ docs on doc_a, then doc_b) — nothing is ever collected;
+      for pair sets too large to hold anywhere. Costs two full shuffles
+      of the docs table, so it only wins at extreme scale.
+    * ``"broadcast"``: the id→text broadcast of the WHOLE corpus — small
+      fixtures only (every worker holds all texts).
     """
     import ray
     from ray.data.aggregate import Count
 
     from ..util import JOIN_AGG_ARGS, cached_get, join_partitions
-
-    # dedup candidate pairs BEFORE the expensive verification work
-    uniq = (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
-    )
 
     def _jaccard_batch(a_texts: list, b_texts: list) -> np.ndarray:
         jac = np.empty(len(a_texts), dtype=np.float64)
@@ -264,15 +264,14 @@ def verify_jaccard(
             jac[i] = inter / union if union else 0.0
         return jac
 
-    if plan == "broadcast":
+    def _texts_of(source: rd.Dataset) -> dict:
         texts: dict[int, str] = {}
-        for b in docs.select_columns([id_col, text_col]).iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow"
-        ):
+        for b in source.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
             for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
                 texts[i] = t
-        texts_ref = ray.put(texts)
+        return texts
 
+    def _verify_bcast_stage(uniq_ds: rd.Dataset, texts_ref) -> rd.Dataset:
         def verify_bcast(batch: pa.Table) -> pa.Table:
             tmap = cached_get(texts_ref)
             a_texts = [tmap[i] for i in batch["doc_a"].to_pylist()]
@@ -281,7 +280,66 @@ def verify_jaccard(
             out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
             return out.filter(pa.array(jac >= threshold))
 
-        return uniq.map_batches(verify_bcast, batch_format="pyarrow")
+        return uniq_ds.map_batches(verify_bcast, batch_format="pyarrow")
+
+    if plan == "pruned":
+        # drain + dedup the (pairs-bounded) candidate set on the driver:
+        # one streaming pass, no shuffle
+        a_parts, b_parts = [], []
+        for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+            b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if not a_parts:
+            return rd.from_arrow(empty)
+        ab = np.unique(
+            np.stack([np.concatenate(a_parts), np.concatenate(b_parts)], axis=1),
+            axis=0,
+        )
+        cand_ids = np.unique(ab)
+        ids_ref = ray.put(cand_ids)
+
+        def prune(t: pa.Table) -> pa.Table:
+            hay = cached_get(ids_ref)
+            vals = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(hay, vals), len(hay) - 1)
+            return t.filter(pa.array(hay[idx] == vals))
+
+        pruned = docs.select_columns([id_col, text_col]).map_batches(
+            prune, batch_format="pyarrow"
+        )
+        texts_ref = ray.put(_texts_of(pruned))
+        uniq_tbl = pa.table(
+            {
+                "doc_a": pa.array(ab[:, 0], pa.int64()),
+                "doc_b": pa.array(ab[:, 1], pa.int64()),
+            }
+        )
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+        n_blocks = max(1, min(2 * cpus, uniq_tbl.num_rows))
+        step = -(-uniq_tbl.num_rows // n_blocks)
+        uniq_ds = rd.from_arrow(
+            [uniq_tbl.slice(i, step) for i in range(0, uniq_tbl.num_rows, step)]
+        )
+        return _verify_bcast_stage(uniq_ds, texts_ref)
+
+    # join / broadcast plans: dedup via a distributed groupby-aggregate
+    uniq = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    )
+    if plan == "broadcast":
+        texts_ref = ray.put(_texts_of(docs.select_columns([id_col, text_col])))
+        return _verify_bcast_stage(uniq, texts_ref)
 
     npart = num_partitions or join_partitions()
     txt = docs.select_columns([id_col, text_col])
@@ -439,7 +497,9 @@ def simhash_near_pairs(
     import ray
     from ray.data.aggregate import Min
 
-    rows = sigs.map_batches(explode, batch_format="pyarrow")
+    # materialize: both self-join sides consume these rows (see
+    # lsh_candidate_pairs — avoids recomputing the signatures twice)
+    rows = sigs.map_batches(explode, batch_format="pyarrow").materialize()
     left = rows.map_batches(
         lambda t: pa.table(
             {

@@ -138,3 +138,30 @@ class TestEngineIndependentGolden:
             for r in ds.take_all()
         )
         assert got == want and len(got) == 126
+
+    def test_raster_vector_matches_scalar_transliteration(self, ray_session, sf_dir):
+        """Same engine-independence for the raster_vector golden: the tile
+        cover of route 2030162 derived by the scalar transliteration (own
+        per-bit Morton implementation) must equal the engine query."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "derive_goldens2",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "derive_goldens.py"),
+        )
+        dg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(dg)
+        want = dg.derive_raster_vector_rows()
+
+        spec2 = importlib.util.spec_from_file_location(
+            "_rayentry_rv",
+            os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py"),
+        )
+        entry = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(entry)
+        got = sorted(
+            (r["cell_hex"], r["route_id"])
+            for r in entry.queries()["raster_vector"](sf_dir).take_all()
+        )
+        assert got == want and len(got) == 3

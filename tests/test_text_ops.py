@@ -147,17 +147,20 @@ class TestMinhashLsh:
         ds = rd.from_items(corpus)
         sigs = minhash_signatures(ds, num_perm=64, shingle_k=5)
         pairs = lsh_candidate_pairs(sigs, bands=16).materialize()
-        a = {
-            (r["doc_a"], r["doc_b"]): r["jaccard"]
-            for r in verify_jaccard(pairs, ds, threshold=0.8, plan="join").take_all()
+        results = {
+            plan: {
+                (r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in verify_jaccard(pairs, ds, threshold=0.8, plan=plan).take_all()
+            }
+            for plan in ("join", "pruned", "broadcast")
         }
-        b = {
-            (r["doc_a"], r["doc_b"]): r["jaccard"]
-            for r in verify_jaccard(pairs, ds, threshold=0.8, plan="broadcast").take_all()
-        }
-        assert set(a) == set(b) and len(a) > 0
-        for k in a:
-            assert a[k] == pytest.approx(b[k])
+        a = results["join"]
+        assert len(a) > 0
+        for plan in ("pruned", "broadcast"):
+            b = results[plan]
+            assert set(a) == set(b), plan
+            for k in a:
+                assert a[k] == pytest.approx(b[k]), plan
 
 
 class TestSimhash:

@@ -197,6 +197,79 @@ def derive_area_rows(gap: float = 150.0, tag_filter: str = "highway"):
     return sorted(rows)
 
 
+def derive_pt_geometry(rel_id: int, gap: float = 1500.0):
+    """Relation flatten via the scalar transliteration → list of segments
+    (each a list of (id, lat, lon) nodes). Role-blind: every way member in
+    member order (mod.rs:242-252); missing ways/nodes silently dropped."""
+    fx = json.load(open(FIXTURE))
+    nodes = {}
+    for n in fx["nodes"]:
+        nodes[n["id"]] = (n["id"], n["lat"], n["lon"])
+    ways = {}
+    for w in fx["ways"]:
+        ways[w["id"]] = w  # last-wins
+    rel = next(r for r in fx["relations"] if r["id"] == rel_id)
+    seqs = []
+    for m in rel["members"]:
+        if m["mtype"] != 1 or m["ref"] not in ways:
+            continue
+        resolved = [nodes[r] for r in ways[m["ref"]]["node_refs"] if r in nodes]
+        if resolved:
+            seqs.append(resolved)
+    return flatten_ways(seqs, gap)
+
+
+# --- independent realization of the documented cell-id layout ---------------
+# (spatial/cell.py module docstring is the spec: uint64 = morton(x, y) << 5
+# | level, x = floor((lon+180)/360*2^L), y = floor((lat+90)/180*2^L);
+# the bit interleave here is a per-bit loop, not the engine's magic-mask
+# spread, so the two implementations are independent)
+
+
+def _cell_id(x: int, y: int, level: int) -> int:
+    m = 0
+    for i in range(32):
+        m |= ((x >> i) & 1) << (2 * i)
+        m |= ((y >> i) & 1) << (2 * i + 1)
+    return (m << 5) | level
+
+
+def _cover(min_lon, min_lat, max_lon, max_lat, level):
+    n = 1 << level
+
+    def clamp(v):
+        return max(0, min(n - 1, v))
+
+    x0 = clamp(math.floor((min_lon + 180.0) / 360.0 * n))
+    x1 = clamp(math.floor((max_lon + 180.0) / 360.0 * n))
+    y0 = clamp(math.floor((min_lat + 90.0) / 180.0 * n))
+    y1 = clamp(math.floor((max_lat + 90.0) / 180.0 * n))
+    return {
+        _cell_id(x, y, level)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    }
+
+
+def derive_raster_vector_rows(level: int = 13):
+    """The raster_vector golden, engine-free: route 2030162's flattened
+    geometry (transliteration, gap 1500 open) → per-EDGE bbox cover at
+    ``level`` (matching the operator's documented replication rule) ∩ the
+    query's tile set cover_bbox(-80.1, -2.3, -79.8, -2.0). → sorted
+    [(cell_hex, route_id)]."""
+    segments, status = derive_pt_geometry(2030162, 1500.0)
+    assert status[0] == 0, status
+    cover: set = set()
+    for seg in segments:
+        for a, b in zip(seg, seg[1:]):
+            lo0, lo1 = sorted((a[2], b[2]))
+            la0, la1 = sorted((a[1], b[1]))
+            cover |= _cover(lo0, la0, lo1, la1, level)
+    tiles = _cover(-80.1, -2.3, -79.8, -2.0, level)
+    hit = sorted(cover & tiles)
+    return [(f"{c:016x}", 2030162) for c in hit]
+
+
 def values_literal(rows) -> str:
     vals = ", ".join(f"({i}, '{t}', {s}, {r}, {p})" for i, t, s, r, p in rows)
     return (
@@ -214,4 +287,11 @@ if __name__ == "__main__":
             print(r)
     else:
         print(values_literal(rows))
-    print(f"-- {len(rows)} rows", file=sys.stderr)
+    print(f"-- areas_fixture: {len(rows)} rows", file=sys.stderr)
+    rv = derive_raster_vector_rows()
+    vals = ", ".join(f"('{h}', {rid})" for h, rid in rv)
+    print(
+        "SELECT cell_hex, CAST(route_id AS BIGINT) AS route_id FROM "
+        f"(VALUES {vals}) AS t(cell_hex, route_id)"
+    )
+    print(f"-- raster_vector: {len(rv)} rows", file=sys.stderr)

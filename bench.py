@@ -138,17 +138,38 @@ def main() -> None:
         # multi-node cluster does not share.
         import subprocess
 
-        replicas_s = os.environ.get("GRAFT_SCALING_REPLICAS", "10000")
+        # 20k replicas (~2.2M pages): after the round-2 per-core speedups
+        # the 10k corpus finished so fast at 8+ CPUs that fixed session /
+        # driver costs (~8 s, constant in N) dominated the ratio — the
+        # measurement was of overheads, not scaling. Doubling the input
+        # (same deterministic corpus at EVERY level) restores a
+        # work-dominated measurement.
+        replicas_s = os.environ.get("GRAFT_SCALING_REPLICAS", "20000")
+        levels = tuple(
+            int(x)
+            for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")
+        )
+        # --pinned: bound the WHOLE process tree (driver, object store,
+        # workers) to N physical cores with taskset. Without pinning,
+        # `ray.init(num_cpus=N)` only caps logical task slots — Ray's
+        # helper threads (plasma copies, serialization, the driver) run on
+        # the box's FREE cores, which flatters the low-N levels and makes
+        # the efficiency ratio pessimistic. Pinning is the honest
+        # emulation of an N-core NODE that must do everything itself.
+        pinned = "--pinned" in sys.argv
         results = {}
-        for n in (2, 8, 32):
+        for n in levels:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_REPLICAS=replicas_s,
                 GRAFT_FLAGSHIP_ONLY="1",
             )
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if pinned:
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                cmd,
                 env=env,
                 capture_output=True,
                 text=True,
@@ -159,23 +180,23 @@ def main() -> None:
         def thr(n):
             return results[n]["flagship"]["join_rows_per_sec"]
 
-        eff_2_8 = (thr(8) / thr(2)) / 4.0
-        eff_8_32 = (thr(32) / thr(8)) / 4.0
+        pairs = {}
+        for a, b in zip(levels, levels[1:]):
+            pairs[f"{a}->{b}"] = round((thr(b) / thr(a)) / (b / a), 3)
+        first_pair = next(iter(pairs.values()))
         print(
             json.dumps(
                 {
                     "metric": "scaling efficiency (flagship join rows/sec, N vs 4N cpus)",
-                    "value": round(eff_2_8, 3),
+                    "value": first_pair,
                     "unit": "ratio",
-                    "pairs": {
-                        "2->8": round(eff_2_8, 3),
-                        "8->32": round(eff_8_32, 3),
-                    },
-                    "throughput_rows_per_sec": {str(n): thr(n) for n in (2, 8, 32)},
+                    "pairs": pairs,
+                    "throughput_rows_per_sec": {str(n): thr(n) for n in levels},
                     "flagship_sec": {
-                        str(n): results[n]["flagship"]["sec"] for n in (2, 8, 32)
+                        str(n): results[n]["flagship"]["sec"] for n in levels
                     },
                     "scaling_replicas": int(replicas_s),
+                    "pinned": pinned,
                 }
             )
         )

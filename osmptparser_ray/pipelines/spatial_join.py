@@ -252,10 +252,22 @@ def stop_route_spatial_join(
         lambda t: t.rename_columns(["target_id", "lat", "lon"]), batch_format="pyarrow"
     )
     if small_side == "broadcast":
-        pip_pairs = pip_join_broadcast(stops, hulls, point_id="stop_id")
-        knn_pairs = knn_join_broadcast(
-            stops, stops_as_targets, k=knn_k, radius_m=knn_radius_m, query_id="stop_id"
-        )
+        # both builds block on driver-side collects fed by cluster
+        # streams — run them concurrently so neither idles the cluster
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_pip = ex.submit(pip_join_broadcast, stops, hulls, point_id="stop_id")
+            f_knn = ex.submit(
+                knn_join_broadcast,
+                stops,
+                stops_as_targets,
+                k=knn_k,
+                radius_m=knn_radius_m,
+                query_id="stop_id",
+            )
+            pip_pairs = f_pip.result()
+            knn_pairs = f_knn.result()
     else:
         pip_pairs = pip_join(
             stops, hulls, level=pip_level, salt=pip_salt, point_id="stop_id"

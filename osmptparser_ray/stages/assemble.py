@@ -333,6 +333,14 @@ def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -
                 stop_tag_tables.append(
                     pa.ipc.open_stream(tg_).read_all()["tags"].combine_chunks()
                 )
+    return _merge_node_parts(id_parts, lat_parts, lon_parts, stop_id_parts, stop_tag_tables)
+
+
+def _merge_node_parts(
+    id_parts, lat_parts, lon_parts, stop_id_parts, stop_tag_arrays
+) -> NodeIndex:
+    """Concatenate per-block pieces (in BLOCK ORDER — last-wins depends on
+    it, mod.rs:494) → sorted/deduped NodeIndex."""
     empty_tags = pa.array([], TAGS_T)
     if not id_parts:
         z = np.empty(0, np.int64)
@@ -348,7 +356,7 @@ def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -
     if stop_id_parts:
         sids = np.concatenate(stop_id_parts)
         stags = pa.concat_arrays(
-            [t if isinstance(t, pa.Array) else t.combine_chunks() for t in stop_tag_tables]
+            [t if isinstance(t, pa.Array) else t.combine_chunks() for t in stop_tag_arrays]
         )
         sorder = np.argsort(sids, kind="stable")
         sids_sorted = sids[sorder]
@@ -361,6 +369,164 @@ def build_node_index(nodes: rd.Dataset, stop_ids: Optional[np.ndarray] = None) -
         sids_final = np.empty(0, np.int64)
         stags = empty_tags
     return NodeIndex(ids[keep], lats[keep], lons[keep], sids_final, stags)
+
+
+class ShardedNodeIndex:
+    """Hash-sharded node lookup living ENTIRELY in the object store.
+
+    The un-sharded ``NodeIndex`` is built by (and broadcast from) the
+    driver — fine while nodes-of-interest fit one heap, but a serial
+    section at high CPU counts and a hard wall at planet scale. Here the
+    index never exists in one piece anywhere: split tasks partition each
+    block's rows by ``id % P``, one merge task per shard sorts/dedups its
+    slice, and the driver holds only P ObjectRefs. Workers resolve shards
+    lazily through the per-process cache (same total bytes as the single
+    broadcast, now scheduler-placed), and every lookup routes vectorized
+    per-shard. API-compatible with ``NodeIndex`` (gather / stops_bulk).
+    """
+
+    def __init__(self, shard_refs: list, num_shards: int):
+        self.shard_refs = shard_refs
+        self.num_shards = num_shards
+        self._shards: Optional[list] = None
+
+    def _resolve(self) -> list:
+        if self._shards is None:
+            self._shards = [_cached_get(r) for r in self.shard_refs]
+        return self._shards
+
+    def gather(self, ref_ids: np.ndarray):
+        refs = np.asarray(ref_ids, dtype=np.int64)
+        n = len(refs)
+        if n == 0:
+            return refs, np.empty(0), np.empty(0)
+        shards = self._resolve()
+        sh = refs % self.num_shards
+        ok = np.zeros(n, dtype=bool)
+        lats = np.empty(n, np.float64)
+        lons = np.empty(n, np.float64)
+        for p in np.unique(sh):
+            m = sh == p
+            s = shards[int(p)]
+            if len(s.ids) == 0:
+                continue
+            sub = refs[m]
+            idx = np.minimum(np.searchsorted(s.ids, sub), len(s.ids) - 1)
+            hit = s.ids[idx] == sub
+            tmp_lat = np.empty(len(sub), np.float64)
+            tmp_lon = np.empty(len(sub), np.float64)
+            tmp_lat[hit] = s.lats[idx[hit]]
+            tmp_lon[hit] = s.lons[idx[hit]]
+            ok[m] = hit
+            lats[m] = tmp_lat
+            lons[m] = tmp_lon
+        return refs[ok], lats[ok], lons[ok]
+
+    def stops_bulk(self, stop_ids_flat: np.ndarray):
+        refs = np.asarray(stop_ids_flat, dtype=np.int64)
+        n = len(refs)
+        if n == 0:
+            return np.zeros(0, bool), np.empty(0), np.empty(0), []
+        shards = self._resolve()
+        sh = refs % self.num_shards
+        ok = np.zeros(n, dtype=bool)
+        lats = np.empty(n, np.float64)
+        lons = np.empty(n, np.float64)
+        tags_all: list = [None] * n
+        for p in np.unique(sh):
+            pos = np.nonzero(sh == p)[0]
+            s = shards[int(p)]
+            sub_ok, sub_lats, sub_lons, sub_tags = s.stops_bulk(refs[pos])
+            hitpos = pos[sub_ok]
+            ok[pos] = sub_ok
+            lats[hitpos] = sub_lats
+            lons[hitpos] = sub_lons
+            for j, t in zip(hitpos, sub_tags):
+                tags_all[int(j)] = t
+        found = np.nonzero(ok)[0]
+        return ok, lats[found], lons[found], [tags_all[int(j)] for j in found]
+
+
+def _split_node_block(block, num_shards: int, stop_sorted):
+    """One node block → per-shard pieces (ran as a Ray task, P returns)."""
+    b = block
+    ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lats = b["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+    lons = b["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tags = b["tags"].combine_chunks()
+    pieces = []
+    sh = ids % num_shards
+    for p in range(num_shards):
+        m = sh == p
+        p_ids, p_lats, p_lons = ids[m], lats[m], lons[m]
+        if stop_sorted is not None:
+            if len(stop_sorted):
+                pos = np.minimum(
+                    np.searchsorted(stop_sorted, p_ids), len(stop_sorted) - 1
+                )
+                hit = stop_sorted[pos] == p_ids
+            else:
+                hit = np.zeros(len(p_ids), dtype=bool)
+            p_sids = p_ids[hit]
+            p_stags = tags.filter(pa.array(m)).filter(pa.array(hit))
+        else:
+            p_sids = p_ids
+            p_stags = tags.filter(pa.array(m))
+        pieces.append((p_ids, p_lats, p_lons, p_sids, p_stags))
+    return tuple(pieces)
+
+
+def _merge_node_shard(*pieces) -> NodeIndex:
+    """Pieces of one shard (block order) → that shard's NodeIndex."""
+    id_parts = [p[0] for p in pieces]
+    lat_parts = [p[1] for p in pieces]
+    lon_parts = [p[2] for p in pieces]
+    stop_id_parts = [p[3] for p in pieces if len(p[3])]
+    stop_tag_arrays = [p[4] for p in pieces if len(p[3])]
+    return _merge_node_parts(
+        id_parts, lat_parts, lon_parts, stop_id_parts, stop_tag_arrays
+    )
+
+
+def build_node_index_sharded(
+    nodes: rd.Dataset,
+    stop_ids: Optional[np.ndarray] = None,
+    num_shards: Optional[int] = None,
+) -> ShardedNodeIndex:
+    """Node lookup built entirely in Ray tasks (see ShardedNodeIndex).
+
+    The driver's role is reduced to launching split/merge tasks over the
+    materialized blocks and holding P shard refs; block ORDER is
+    preserved into every merge so last-wins dedup matches the reference.
+    """
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_shards = int(max(2, min(16, cpus // 2)))
+    P = num_shards
+    stop_sorted = (
+        np.sort(np.asarray(stop_ids, dtype=np.int64)) if stop_ids is not None else None
+    )
+    stop_ref = ray.put(stop_sorted)
+
+    split = ray.remote(_split_node_block)
+    merge = ray.remote(_merge_node_shard)
+    block_refs = []
+    for bundle in nodes.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    if not block_refs:
+        z = np.empty(0, np.int64)
+        empty = NodeIndex(
+            z, z.astype(np.float64), z.astype(np.float64), z, pa.array([], TAGS_T)
+        )
+        return ShardedNodeIndex([ray.put(empty) for _ in range(P)], P)
+    piece_refs = [
+        split.options(num_returns=P).remote(bref, P, stop_ref) for bref in block_refs
+    ]
+    shard_refs = [
+        merge.remote(*[piece_refs[i][p] for i in range(len(piece_refs))])
+        for p in range(P)
+    ]
+    return ShardedNodeIndex(shard_refs, P)
 
 
 def collect_stop_ids(relations: rd.Dataset) -> np.ndarray:
@@ -376,6 +542,15 @@ def collect_stop_ids(relations: rd.Dataset) -> np.ndarray:
 from ..util import cached_get as _cached_get
 
 
+def _resolve_index(ref_or_index):
+    """A broadcast side arrives either as an ObjectRef (un-sharded index,
+    ``ray.put`` once) or as a ShardedNodeIndex whose refs resolve lazily
+    per worker — accept both."""
+    if isinstance(ref_or_index, (WayIndex, NodeIndex, ShardedNodeIndex)):
+        return ref_or_index
+    return _cached_get(ref_or_index)
+
+
 class _BroadcastAssembler:
     """relations batch → flattened PublicTransport / relation-Area rows.
 
@@ -385,8 +560,8 @@ class _BroadcastAssembler:
     """
 
     def __init__(self, ways_ref, nodes_ref, gap: float, closed: bool, as_area: bool):
-        self.ways: WayIndex = _cached_get(ways_ref)
-        self.nodes: NodeIndex = _cached_get(nodes_ref)
+        self.ways: WayIndex = _resolve_index(ways_ref)
+        self.nodes = _resolve_index(nodes_ref)
         self.gap = gap
         self.closed = closed
         self.as_area = as_area
@@ -483,7 +658,7 @@ class _WayAreaFlattener:
     """
 
     def __init__(self, nodes_ref, gap: float):
-        self.nodes: NodeIndex = _cached_get(nodes_ref)
+        self.nodes = _resolve_index(nodes_ref)
         self.gap = gap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -536,15 +711,15 @@ def get_public_transports(
     if mode == "shuffle":
         return _assemble_shuffle(tables, gap, closed=False, as_area=False,
                                  num_partitions=num_partitions)
-    # build the two broadcast indexes concurrently — both are driver-side
-    # collections whose wall time would otherwise add up serially
+    # the node index builds SHARDED in Ray tasks (driver holds refs only);
+    # the (much smaller) way index collects concurrently on a driver thread
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_ways = pool.submit(lambda: ray.put(build_way_index(tables.ways)))
         f_nodes = pool.submit(
-            lambda: ray.put(
-                build_node_index(tables.nodes, collect_stop_ids(tables.relations))
+            lambda: build_node_index_sharded(
+                tables.nodes, collect_stop_ids(tables.relations)
             )
         )
         ways_ref = f_ways.result()
@@ -576,7 +751,7 @@ def get_areas(
     including Broken; CLI-parity filtering (drop status!=0 / empty
     geometry, bin.rs:68-73) is `cli_area_filter`.
     """
-    nodes_ref = ray.put(build_node_index(tables.nodes))
+    nodes_ref = build_node_index_sharded(tables.nodes)
     if mode == "shuffle":
         rel_areas = _assemble_shuffle(tables, gap, closed=True, as_area=True,
                                       num_partitions=num_partitions)
@@ -800,7 +975,7 @@ def _assemble_shuffle(
         partial(_group_flatten, gap=gap, closed=closed), batch_format="pandas"
     )
     nodes_ref = (
-        ray.put(build_node_index(tables.nodes, collect_stop_ids(tables.relations)))
+        build_node_index_sharded(tables.nodes, collect_stop_ids(tables.relations))
         if not as_area
         else None
     )
@@ -809,7 +984,7 @@ def _assemble_shuffle(
         """Decode joined meta/geometry blobs (+ resolve stops for PT rows)."""
 
         def __init__(self):
-            self.nodes = _cached_get(nodes_ref) if nodes_ref is not None else None
+            self.nodes = _resolve_index(nodes_ref) if nodes_ref is not None else None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["id"].to_pylist()

@@ -100,3 +100,50 @@ class TestStreams:
         rows = out.take_all()
         assert len(rows) > 0
         assert all(r["n_events"] >= 1 for r in rows)
+
+
+class TestShardedNodeIndex:
+    def test_matches_unsharded(self, ray_session):
+        """gather/stops_bulk parity between the driver-built NodeIndex and
+        the object-store-sharded variant, including last-wins dedup and
+        missing-id drops."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.kernel.filters import dicts_to_map_array
+        from osmptparser_ray.stages.assemble import (
+            build_node_index,
+            build_node_index_sharded,
+        )
+
+        rng = np.random.default_rng(6)
+        ids = rng.integers(0, 500, size=400).astype(np.int64)  # duplicates on purpose
+        lats = rng.uniform(-3, -2, 400)
+        lons = rng.uniform(-80, -79, 400)
+        tags = [{"name": f"n{i}"} for i in ids]
+        tbl = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "lat": pa.array(lats, pa.float64()),
+                "lon": pa.array(lons, pa.float64()),
+                "tags": dicts_to_map_array(tags),
+            }
+        )
+        # several blocks so last-wins crosses block boundaries
+        nodes = rd.from_arrow([tbl.slice(i, 100) for i in range(0, 400, 100)])
+        stop_ids = np.unique(ids[::3])
+        a = build_node_index(nodes, stop_ids)
+        b = build_node_index_sharded(nodes, stop_ids, num_shards=4)
+
+        probe = np.concatenate([np.unique(ids), np.array([100000, -5], np.int64)])
+        ga = a.gather(probe)
+        gb = b.gather(probe)
+        for x, y in zip(ga, gb):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+        sa = a.stops_bulk(probe)
+        sb = b.stops_bulk(probe)
+        assert np.array_equal(sa[0], sb[0])
+        assert np.allclose(sa[1], sb[1]) and np.allclose(sa[2], sb[2])
+        assert [dict(t) for t in sa[3]] == [dict(t) for t in sb[3]]

@@ -1159,5 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         # CLOSED-FORM oracle (constant-color images through the REAL PPM
         # decode: channel means == the colors, provable by construction)
         "multimodal_image": "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_r AS BIGINT) AS mean_r, CAST(mean_g AS BIGINT) AS mean_g, CAST(mean_b AS BIGINT) AS mean_b FROM (VALUES (0, 0, 0, 0), (1, 37, 59, 83), (2, 74, 118, 166), (3, 111, 177, 249), (4, 148, 236, 76), (5, 185, 39, 159), (6, 222, 98, 242), (7, 3, 157, 69), (8, 40, 216, 152), (9, 77, 19, 235), (10, 114, 78, 62), (11, 151, 137, 145), (12, 188, 196, 228), (13, 225, 255, 55), (14, 6, 58, 138), (15, 43, 117, 221), (16, 80, 176, 48), (17, 117, 235, 131), (18, 154, 38, 214), (19, 191, 97, 41), (20, 228, 156, 124), (21, 9, 215, 207), (22, 46, 18, 34), (23, 83, 77, 117), (24, 120, 136, 200), (25, 157, 195, 27), (26, 194, 254, 110), (27, 231, 57, 193), (28, 12, 116, 20), (29, 49, 175, 103), (30, 86, 234, 186), (31, 123, 37, 13)) AS t(media_id, mean_r, mean_g, mean_b)",
-        # no oracle (rows-only): checkpoint_resume (tmp-state dependent)
+        # CLOSED-FORM: region is 5 rows at EVERY TPC-H scale factor (spec
+        # fixed table); both partitions must be skipped on resume
+        "checkpoint_resume": "SELECT partition, CAST(rows AS BIGINT) AS rows, CAST(resumed_count AS BIGINT) AS resumed_count FROM (VALUES ('p0', 5, 2), ('p1', 5, 2)) AS t(partition, rows, resumed_count)",
     }

@@ -157,12 +157,24 @@ def main() -> None:
         # the efficiency ratio pessimistic. Pinning is the honest
         # emulation of an N-core NODE that must do everything itself.
         pinned = "--pinned" in sys.argv
+        # --weak: weak scaling (Gustafson) — the input grows with N (same
+        # replicas-per-cpu at every level), the standard evidence that a
+        # cluster can take on proportionally more work per added node.
+        # Strong scaling on a small FIXED input under-states large-cluster
+        # efficiency by construction: the serial floor S is constant while
+        # the parallel share P/N shrinks, so the measured ratio falls as
+        # the engine's per-core work gets FASTER (Amdahl). Efficiency here
+        # = T(N, W) / T(4N, 4W).
+        weak = "--weak" in sys.argv
         results = {}
         for n in levels:
+            reps = (
+                str(int(replicas_s) * n // levels[0]) if weak else replicas_s
+            )
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
-                GRAFT_REPLICAS=replicas_s,
+                GRAFT_REPLICAS=reps,
                 GRAFT_FLAGSHIP_ONLY="1",
             )
             cmd = [sys.executable, os.path.abspath(__file__)]
@@ -182,7 +194,13 @@ def main() -> None:
 
         pairs = {}
         for a, b in zip(levels, levels[1:]):
-            pairs[f"{a}->{b}"] = round((thr(b) / thr(a)) / (b / a), 3)
+            if weak:
+                # T(a, W) / T(b, W*b/a): 1.0 == perfect weak scaling
+                pairs[f"{a}->{b}"] = round(
+                    results[a]["flagship"]["sec"] / results[b]["flagship"]["sec"], 3
+                )
+            else:
+                pairs[f"{a}->{b}"] = round((thr(b) / thr(a)) / (b / a), 3)
         first_pair = next(iter(pairs.values()))
         print(
             json.dumps(
@@ -197,6 +215,7 @@ def main() -> None:
                     },
                     "scaling_replicas": int(replicas_s),
                     "pinned": pinned,
+                    "weak": weak,
                 }
             )
         )

@@ -276,11 +276,12 @@ def build_parser_tables(
     # NOTE: relations are NOT deduped even when dedup=True — the reference
     # extends a Vec (duplicate relation ids appear twice, mod.rs:293)
     # Coalesce: the filtered head table inherits the extraction stage's
-    # many near-empty blocks; downstream flatten parallelism only needs
-    # ~one block per CPU, and per-task overhead on hundreds of tiny blocks
-    # dominates otherwise.
+    # many near-empty blocks; per-task overhead on hundreds of tiny blocks
+    # dominates otherwise. 2 blocks per CPU (not 1): the assembly stage's
+    # per-relation flatten cost is skewed, and a barrier over one-per-CPU
+    # blocks waits on the slowest straggler.
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    relations = relations.repartition(max(2, cpus)).materialize()
+    relations = relations.repartition(max(4, 2 * cpus)).materialize()
 
     # broadcast side 1: member way ids (+ stop ids for the node pass)
     way_id_arr = _flatten_unique_list_column(relations, "way_ids")

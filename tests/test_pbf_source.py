@@ -140,3 +140,42 @@ class TestEndToEnd:
         a = canon(public_transports_from_pbf(PBF, gap=1500.0))
         b = canon(public_transports_from_pages(p, gap=1500.0))
         assert a == b and len(a) == 2
+
+
+class TestMultiBlobParallelism:
+    def test_concatenated_pbf_decodes_blob_parallel(self, ray_session, tmp_path):
+        """A PBF is a plain sequence of length-prefixed blobs, so
+        concatenating the fixture with itself yields a legal 4x file with
+        12 OSMData blobs (interleaved OSMHeader blobs must be skipped by
+        the scan). Element multiplicity follows the reference cache
+        semantics the downstream pipeline already implements: nodes and
+        member ways dedup last-wins, relations Vec-extend (duplicates
+        kept) — so the PT output has 4 copies of each relation, each with
+        the single-copy geometry/status."""
+        import numpy as np
+
+        from osmptparser_ray.pipelines.ptv2 import public_transports_from_pbf
+        from osmptparser_ray.sources.pbf import read_pbf_elements, scan_pbf_blobs
+
+        raw = open(PBF, "rb").read()
+        big = tmp_path / "x4.osm.pbf"
+        big.write_bytes(raw * 4)
+        blobs = scan_pbf_blobs(str(big))
+        assert len(blobs) == 12  # 3 OSMData blobs x 4, headers skipped
+
+        els = read_pbf_elements(str(big))
+        counts = {}
+        for r in els.take_all():
+            counts[r["kind"]] = counts.get(r["kind"], 0) + 1
+        assert counts == {"node": 563 * 4, "way": 126 * 4, "relation": 2 * 4}
+
+        pts = sorted(
+            public_transports_from_pbf(str(big), gap=1500.0).take_all(),
+            key=lambda r: r["id"],
+        )
+        assert [p["id"] for p in pts] == [85965] * 4 + [2030162] * 4
+        for p in pts:
+            if p["id"] == 2030162:
+                assert p["status_code"] == 0 and len(p["geometry"][0]) == 90
+            else:
+                assert p["status_code"] == 501 and len(p["stops"]) == 31

@@ -6,9 +6,15 @@ spatial-join output rows/sec) over a deterministic synthetic page corpus,
 plus operator benches over the $GRAFT_SF_DIR tables (default sf0.1).
 
 Env:
-    GRAFT_SF_DIR      table dir (default /root/testdata/sf0.1)
-    RAY_GRAFT_CPUS    num_cpus for ray.init (default 32)
-    GRAFT_REPLICAS    page-corpus replicas (default 2000)
+    GRAFT_SF_DIR             table dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS           num_cpus for ray.init (default 32)
+    GRAFT_REPLICAS           page-corpus replicas (default 2000)
+    GRAFT_FLAGSHIP_ONLY      =1: flagship only (used by --scaling levels)
+    GRAFT_SCALING_REPLICAS   --scaling corpus replicas (default 20000)
+    GRAFT_SCALING_LEVELS     --scaling CPU levels (default "2,8,32")
+
+--scaling flags: --pinned (taskset-bound process tree per level),
+--weak (input grows with N; weak/Gustafson scaling — see BASELINE.md).
 """
 
 from __future__ import annotations

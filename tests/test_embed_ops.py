@@ -140,3 +140,45 @@ class TestIvfAnn:
         rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
         hits = sum(1 for qid in qids if rank1.get(qid) == qid)
         assert hits >= 8  # ≥80% top-1 self-recall with 2/8 probes
+
+
+class TestAutoBits:
+    def test_cosine_near_dup_auto_bits_scales_with_corpus(self, ray_session):
+        """bits=None sizes 2^bits to n/target_bucket (clipped to [4, 24]) and
+        still finds planted same-direction duplicates exactly."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.embed.ann import cosine_near_dup
+
+        dim = 16
+        ids, vecs = [], []
+        for i in range(600):
+            v = np.zeros(dim)
+            v[i % dim] = 1.0 + 0.01 * i
+            ids.append(i)
+            vecs.append(v.tolist())
+        # planted exact-direction duplicates
+        for j in range(5):
+            v = np.zeros(dim)
+            v[(7 * j) % dim] = 0.5
+            ids.append(10_000 + (7 * j) % dim)
+            vecs.append(v.tolist())
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                }
+            )
+        )
+        # n=605, target 256 -> ceil(log2(605/256)) = 2 -> clipped to 4 bits
+        out = cosine_near_dup(ds, threshold=0.999999)
+        got = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+        # every planted pair must be present (same-direction => same bucket)
+        for j in range(5):
+            axis = (7 * j) % dim
+            base_ids = [i for i in range(600) if i % dim == axis]
+            for b in base_ids:
+                assert (b, 10_000 + axis) in got

@@ -90,6 +90,14 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         }
 
     # -- operator benches over the sf tables --------------------------------
+    # warm the sf parquet files too (untimed), symmetrical with the page
+    # corpus warm above — first-touch disk reads otherwise land on
+    # whichever query runs first
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sf_dir, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
     q = entrymod.queries()
     for name in (
         "groupby_agg",

@@ -94,7 +94,7 @@ def extract_elements(
     *,
     include_url: bool = False,
     validate: bool = True,
-    batch_size: int = 64,
+    batch_size: int = 256,
     concurrency: Optional[int | tuple[int, int]] = None,
 ) -> rd.Dataset:
     """pages → unified element rows.

@@ -488,15 +488,50 @@ def _q_duplicate_groups(sf_dir: str):
     return duplicate_groups(docs.map_batches(chain_pairs, batch_format="pyarrow"))
 
 
+def _minhash_planted_corpus():
+    """Planted minhash corpus with a CLOSED-FORM duplicate-pair oracle.
+
+    30 base docs, each a single distinct ASCII character repeated 40× —
+    every doc's 5-byte shingle set is the singleton {c*5}, so shingle
+    sets are pairwise DISJOINT across bases (Jaccard exactly 0), below
+    any threshold no matter what the LSH banding proposes. 12 planted
+    copies (doc_id 1000+2j) are byte-identical to their base (Jaccard
+    exactly 1): identical shingle sets give identical minhash signatures
+    under ANY permutation family, hence identical band hashes in every
+    band → guaranteed LSH candidates → verified at threshold 0.5. The
+    output is therefore EXACTLY the 12 (base, copy) pairs, provable from
+    the construction with zero reference to the engine's hash functions.
+    """
+    # digits, not uppercase, for the tail: shingling lowercases the text,
+    # so 'A' would fold onto 'a' and break the disjointness argument
+    letters = "abcdefghijklmnopqrstuvwxyz0123"
+    ids, texts = [], []
+    for i in range(30):
+        ids.append(i)
+        texts.append(letters[i] * 40)
+    for j in range(12):
+        base = 2 * j
+        ids.append(1000 + base)
+        texts.append(letters[base] * 40)
+    return ids, texts
+
+
 def _q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH candidate pairs verified by exact Jaccard ≥ 0.5."""
+    """MinHash-LSH candidate pairs verified by exact Jaccard ≥ 0.5 over the
+    planted corpus (closed-form oracle; the sf documents corpus is covered
+    by the brute-force pytest oracles in tests/test_text_ops.py)."""
+    import ray.data as rd
+
     from osmptparser_ray.text.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
         verify_jaccard,
     )
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids, texts = _minhash_planted_corpus()
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
     sigs = minhash_signatures(docs, num_perm=64, shingle_k=5)
     pairs = lsh_candidate_pairs(sigs, bands=16)
     return verify_jaccard(pairs, docs, threshold=0.5).select_columns(
@@ -504,10 +539,63 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+def _simhash_planted_corpus():
+    """Planted simhash corpus whose signatures are HAND-DERIVABLE bit
+    majorities over public blake2b token hashes (no engine involved).
+
+    The simhash definition (bit i set ⟺ strictly more than half the
+    token INSTANCES have bit i of blake2b-64(token) set) collapses to
+    closed forms for crafted multisets:
+      - one distinct token (any multiplicity)      → H(tok)
+      - dominant token (3×A + 1×B)                 → H(A)
+      - exact tie (A + B, or 2×A + 2×B)            → H(A) & H(B)
+        (a tied bit is NOT a strict majority → 0 unless both are 1)
+      - three singletons A+B+C                     → majority(A,B,C)
+      - empty doc                                  → 0
+    where H(t) = little-endian uint64 of hashlib.blake2b(t, digest_size=8)
+    — a PUBLIC standard hash the oracle computes with the stdlib,
+    independent of any engine code. Docs also pin the tokenizer contract:
+    [A-Za-z0-9_]+ on the lowercased text.
+    """
+    import hashlib as _hl
+
+    def H(tok: str) -> int:
+        return int.from_bytes(
+            _hl.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        )
+
+    a, b, c, d = H("alpha"), H("beta"), H("gamma"), H("delta42")
+    docs = [
+        ("", 0),
+        ("alpha", a),
+        ("alpha alpha alpha", a),
+        ("Alpha ALPHA alpha", a),  # lowercase folding
+        ("beta", b),
+        ("alpha alpha alpha beta", a),  # 3-vs-1 dominance
+        ("alpha beta", a & b),  # 1-1 tie → AND
+        ("alpha alpha beta beta", a & b),  # 2-2 tie → AND
+        ("gamma", c),
+        ("alpha beta gamma", (a & b) | (a & c) | (b & c)),  # 3-way majority
+        ("alpha-beta", a & b),  # '-' splits tokens
+        ("delta42 delta42", d),  # alphanumeric token
+    ]
+    ids = list(range(len(docs)))
+    texts = [t for t, _ in docs]
+    expected = [e for _, e in docs]
+    return ids, texts, expected
+
+
 def _q_simhash(sf_dir: str):
+    """SimHash signatures of the planted corpus (closed-form oracle; the
+    sf corpus path is covered by the brute-force pytest oracle)."""
+    import ray.data as rd
+
     from osmptparser_ray.text.dedup import simhash_signatures
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids, texts, _ = _simhash_planted_corpus()
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
     sigs = simhash_signatures(docs)
 
     def as_int(batch: pa.Table) -> pa.Table:
@@ -1135,24 +1223,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts a CROSS JOIN pts b) "
             f"WHERE rank <= {_KNN_K} AND dist_m <= {_KNN_RADIUS_M!r}"
         ),
-        # Regression goldens. `areas_fixture` is ENGINE-INDEPENDENT: the
-        # VALUES below are reproduced byte-identically by
-        # tools/derive_goldens.py, a scalar line-by-line transliteration of
-        # the reference algorithms (relation.rs:88-337) over the decoded
+        # Regression goldens — every one ENGINE-INDEPENDENT as of round 3.
+        # `areas_fixture` and `raster_vector`: reproduced byte-identically
+        # by tools/derive_goldens.py, a scalar line-by-line transliteration
+        # of the reference algorithms (relation.rs:88-337) over the decoded
         # fixture, sharing no code with the engine kernel (pytest
-        # test_areas_relations asserts engine == transliteration). The
-        # remaining goldens are engine-frozen pins whose algorithms are
-        # independently verified by pytest oracles (brute-force
-        # Jaccard/hamming for minhash/simhash, cover containment for
-        # raster): any behavior change fails the driver gate loudly.
+        # test_areas_relations asserts engine == transliteration).
+        # `minhash_near_dup` / `simhash`: planted-construction corpora
+        # whose expected outputs are provable from the construction
+        # (disjoint-vs-identical shingle sets; hand-derived bit majorities
+        # over stdlib blake2b) — see _minhash_planted_corpus /
+        # _simhash_planted_corpus.
         "areas_fixture": "SELECT CAST(id AS BIGINT) AS id, id_type, CAST(status_code AS BIGINT) AS status_code, CAST(n_rings AS BIGINT) AS n_rings, CAST(n_points AS BIGINT) AS n_points FROM (VALUES (24392974, 'w', 501, 1, 0), (24672257, 'w', 501, 1, 0), (24680896, 'w', 102, 1, 3), (24714721, 'w', 102, 1, 4), (24714726, 'w', 501, 1, 0), (24715204, 'w', 102, 1, 4), (24734056, 'w', 501, 1, 0), (24734667, 'w', 501, 1, 0), (24734685, 'w', 102, 1, 7), (24935354, 'w', 102, 1, 3), (24935355, 'w', 501, 1, 0), (24935356, 'w', 102, 1, 3), (24959251, 'w', 501, 1, 0), (28685802, 'w', 501, 1, 0), (31016396, 'w', 501, 1, 0), (31018344, 'w', 102, 1, 4), (31018346, 'w', 102, 1, 4), (31018349, 'w', 102, 1, 3), (31018706, 'w', 501, 1, 0), (31018762, 'w', 102, 1, 5), (31018809, 'w', 501, 1, 0), (31018978, 'w', 501, 1, 0), (31019030, 'w', 501, 1, 0), (31052220, 'w', 501, 1, 0), (31052491, 'w', 501, 1, 0), (31056285, 'w', 102, 1, 5), (31056329, 'w', 102, 1, 4), (31583647, 'w', 102, 1, 4), (35414681, 'w', 102, 1, 6), (35429734, 'w', 102, 1, 5), (75673237, 'w', 501, 1, 0), (85239534, 'w', 102, 1, 5), (95606276, 'w', 501, 1, 0), (149568931, 'w', 0, 1, 5), (149660952, 'w', 501, 1, 0), (149660953, 'w', 501, 1, 0), (149660956, 'w', 102, 1, 4), (149660957, 'w', 102, 1, 4), (149660960, 'w', 102, 1, 3), (149660963, 'w', 102, 1, 5), (149660968, 'w', 102, 1, 5), (149660970, 'w', 501, 1, 0), (149660974, 'w', 102, 1, 3), (149660975, 'w', 501, 1, 0), (149660977, 'w', 102, 1, 5), (149660979, 'w', 102, 1, 6), (149660981, 'w', 102, 1, 5), (149660984, 'w', 501, 1, 0), (149660987, 'w', 501, 1, 0), (149660988, 'w', 102, 1, 6), (149660991, 'w', 501, 1, 0), (149660992, 'w', 501, 1, 0), (149660995, 'w', 501, 1, 0), (149660997, 'w', 102, 1, 3), (149660998, 'w', 501, 1, 0), (149660999, 'w', 102, 1, 5), (149661002, 'w', 501, 1, 0), (149661004, 'w', 0, 1, 13), (149661007, 'w', 0, 1, 6), (149661009, 'w', 0, 1, 5), (149661010, 'w', 0, 1, 5), (149661014, 'w', 0, 1, 5), (149661016, 'w', 0, 1, 5), (149661017, 'w', 0, 1, 5), (149661020, 'w', 0, 1, 5), (149661021, 'w', 0, 1, 5), (149661022, 'w', 0, 1, 5), (149661023, 'w', 0, 1, 9), (150275233, 'w', 501, 1, 0), (150593568, 'w', 501, 1, 0), (150593572, 'w', 102, 1, 3), (150593573, 'w', 501, 1, 0), (150593574, 'w', 501, 1, 0), (150593575, 'w', 501, 1, 0), (150593578, 'w', 501, 1, 0), (150593579, 'w', 501, 1, 0), (266824805, 'w', 501, 1, 0), (267042056, 'w', 102, 1, 3), (267189919, 'w', 102, 1, 3), (267189927, 'w', 102, 1, 7), (267250300, 'w', 102, 1, 4), (267256494, 'w', 501, 1, 0), (267279270, 'w', 102, 1, 3), (267684255, 'w', 0, 1, 5), (304043753, 'w', 501, 1, 0), (309391191, 'w', 501, 1, 0), (309392035, 'w', 102, 1, 3), (309392214, 'w', 501, 1, 0), (309392471, 'w', 102, 1, 4), (351942438, 'w', 102, 1, 4), (407392931, 'w', 501, 1, 0), (409656672, 'w', 102, 1, 5), (420559879, 'w', 102, 1, 3), (420846304, 'w', 501, 1, 0), (420846333, 'w', 501, 1, 0), (420917619, 'w', 102, 1, 3), (420917621, 'w', 102, 1, 3), (421141159, 'w', 102, 1, 3), (421141175, 'w', 102, 1, 3), (423441353, 'w', 501, 1, 0), (423441354, 'w', 501, 1, 0), (423658290, 'w', 102, 1, 3), (423658293, 'w', 501, 1, 0), (426165511, 'w', 102, 1, 7), (428053218, 'w', 102, 1, 4), (428053219, 'w', 501, 1, 0), (431094506, 'w', 501, 1, 0), (431221783, 'w', 501, 1, 0), (431231623, 'w', 501, 1, 0), (431245500, 'w', 501, 1, 0), (431248274, 'w', 501, 1, 0), (431722531, 'w', 102, 1, 7), (431725914, 'w', 102, 1, 3), (431975596, 'w', 501, 1, 0), (432168057, 'w', 501, 1, 0), (485959900, 'w', 102, 1, 4), (534433680, 'w', 102, 1, 3), (534433684, 'w', 102, 1, 4), (534433687, 'w', 102, 1, 3), (534433690, 'w', 102, 1, 3), (534433692, 'w', 102, 1, 5), (534433698, 'w', 102, 1, 3), (534433702, 'w', 102, 1, 3), (548140464, 'w', 102, 1, 4), (683132070, 'w', 501, 1, 0), (683235610, 'w', 501, 1, 0)) AS t(id, id_type, status_code, n_rings, n_points)",
         # ENGINE-INDEPENDENT like areas_fixture: reproduced exactly by
         # tools/derive_goldens.py:derive_raster_vector_rows (transliterated
         # route flatten → per-edge bbox cover under an independently
         # implemented per-bit Morton cell id)
         "raster_vector": "SELECT cell_hex, CAST(route_id AS BIGINT) AS route_id FROM (VALUES ('000000001d5ad64d', 2030162), ('000000001d5ad66d', 2030162), ('000000001d5ad70d', 2030162)) AS t(cell_hex, route_id)",
-        "minhash_near_dup": "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b FROM (VALUES (8, 245), (26, 455), (31, 383), (44, 446), (45, 267), (45, 413), (58, 293), (61, 185), (70, 447), (72, 377), (87, 134), (92, 450), (98, 290), (107, 387), (120, 332), (152, 178), (166, 323), (267, 413), (285, 301), (295, 374), (310, 389), (326, 457), (393, 420), (435, 486), (458, 462)) AS t(doc_a, doc_b)",
-        "simhash": "SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash_hex FROM (VALUES (0, '4d58a9d01d8cd86e'), (1, '416bbdc0e7af187e'), (2, '4d1bef80718cc976'), (3, '4907ad99fd5fc876'), (4, '492fed80f70f085e'), (5, '600dede9e58f087e'), (6, 'd018ed02ea8880fe'), (7, 'e03abf00edcb0056'), (8, '453bad04c9cf9856'), (9, '714fad01e14f0876'), (10, '456dbd01e9cf48de'), (11, '617828c0b5cfc87e'), (12, '496aad2071df8874'), (13, '412fbf81f54f4a76'), (14, '4115ed81d50f0876'), (15, '414fa9c9e76e1d76'), (16, 'f00cecc0e499096e'), (17, '614ee9c1258e2976'), (18, '690fed40e9c50856'), (19, '651c6d8c688b0a66'), (20, '480bbd00ff8f0956'), (21, 'e82baf02bdcb0cd6'), (22, '414dadc964af097a'), (23, '603e6d806d8b085e'), (24, '614f2988bfcf097e'), (25, '491ead40658fca7e'), (26, '410ea049e5452c6a'), (27, '610fedc1e59dc856'), (28, '610eadc0658d087f'), (29, '610b2fc8219b004e'), (30, '4f0badc0756f587e'), (31, '600fed4ce18b2956'), (32, '691fed80efcb087e'), (33, '606a3ce8a59f0976'), (34, '491fbdc465ef0977'), (35, '494ba900bdce8956'), (36, '682f19c9a77f007e'), (37, '493fe904c5a79876'), (38, '480b9b01eccf0856'), (39, '431abd25754fe876'), (40, '412bb764e54b0856'), (41, '750dedc1cd8d5956'), (42, '490ffd02e78d085e'), (43, '410cad81678f087e'), (44, '686bf5e425216856'), (45, '411abd8475cfc977'), (46, '610bedc14ddfb376'), (47, '712ffde0e5c5687e'), (48, '69db9900a76e0977'), (49, '614cece055897976'), (50, '0939bdc4d58dcb57'), (51, '602a2740e9cb085e'), (52, '6d741d31d98fca74'), (53, '417aada07589017c'), (54, '601cbdc0e58f087f'), (55, '680b7f003f5e887e'), (56, '613dad40c58b087e'), (57, '491eadc0e58f085e'), (58, '455de501fdcd08c6'), (59, '40426d38b10f8816'), (60, '615dadc0e98f4856'), (61, '4971edc0d59d9946'), (62, '600ca9c0e58dc87e'), (63, '403abd806d8f085f'), (64, '4158e9406984104f'), (65, '6b78f5c16daa095f'), (66, '6019ad006d8b195e'), (67, '680feda3efcd487e'), (68, '706b9f00f9dab076'), (69, '496b2f18fdcf0876'), (70, '494bad40fddf9976'), (71, '455ded895d8d086e'), (72, '60782d10bdcd08fe'), (73, '507bfd40e51f987e'), (74, 'a04ea8a2b54d6c0e'), (75, '6906bd00adafd956'), (76, '6159edc4c5cf3856'), (77, '4479ad00dd8f187e'), (78, '610ded44c5cb2956'), (79, '4508a5c1648f4848'), (80, '615865105988807e'), (81, '4d0de984f7cf085e'), (82, '610fadc0e58f085e'), (83, '4069b94ce7bb1952'), (84, '690a2dc879c54878'), (85, '4b52e55079af995e'), (86, '492b9fa4555f4336'), (87, '5559ed44d58f1956'), (88, '690f6dc0c59dc87e'), (89, '41f965a9796d08f8'), (90, '095ead02b90e4846'), (91, '696fbd61e5af0977'), (92, '4b3aadd064ab927e'), (93, 'f10decc6a599f856'), (94, '400aaf0462971d53'), (95, '4d79adc4f5cb997e'), (96, '616dbde1e58f4876'), (97, '455dadc1ddcfce76'), (98, '4559e5c9dc8f08ee'), (99, '597bada0d14dc87e'), (100, '611abd006d938977'), (101, '49172910d18d8d7f'), (102, '6129ad44e9c938de'), (103, '4169bdc1c4df827f'), (104, '496fad80f54f486e'), (105, '690ded80ef89087e'), (106, '411aad34714faf34'), (107, '414e8d29e74e0d76'), (108, '4d4ee0c1510c296a'), (109, '416dadc1c58f4a74'), (110, 'e914b881edffc57f'), (111, '616dadc46c8f087e'), (112, '491bad8055ff9076'), (113, 'e01a3d00ed8b897e'), (114, '412aa5c8251b2146'), (115, 'f11dc88084cb1976'), (116, '4128bd44678b1f53'), (117, 'c06aaf40e98c087e'), (118, '692fadc0e5a7485e'), (119, '6031fd00c9831956'), (120, '610fe54c65d339f7'), (121, '493bbd24754f4b56'), (122, '693a3d90adaf487f'), (123, '292f6d80a7ab087e'), (124, '612ebdc1658f487f'), (125, '494ba98074ef887e'), (126, 'e17baf40ed4b0856'), (127, '615aad417dcc80ff'), (128, '6159a9c0edeb0946'), (129, '494fa9c1e5ef087e'), (130, '696afd817d8f5954'), (131, '69236d01657fa877'), (132, '615aad41ed8f8976'), (133, '640aedc06d8d187e'), (134, '5519ed04d4891956'), (135, '6b2ba5c86daf085e'), (136, '414cade9f5ff0976'), (137, '616bfd61659f9977'), (138, '694f6981adcd684e'), (139, '696b37e16dbf4870'), (140, '690f2981e9e70a7e'), (141, '416badc0e18d097e'), (142, '612aadc0e58f1856'), (143, '615ced044dcb2974'), (144, '7111fd80a5cb385e'), (145, '4139ad80d58f487e'), (146, 'e1251f8c4cfb4076'), (147, '4979ad60f94f0846'), (148, '493abdc0359fc055'), (149, '493bbdc4f72b1d56'), (150, '403aad98f58f1976'), (151, '616ffd81e56f087e'), (152, '691f6fc07997816e'), (153, '651dadc05d8f4976'), (154, '6978a580edaf485e'), (155, '692d3dc0ed8f585e'), (156, '490e2f02a945087e'), (157, '4006bf61e15fad76'), (158, '430da9cde09d01ea'), (159, '616da984e5cf0c7e'), (160, '69792d00ed8b0a4e'), (161, '413bbdc0e5af087e'), (162, '690bed406dc70976'), (163, '490ba9c4718d0976'), (164, '634c654baf8908db'), (165, '487a29b2b9cd887e'), (166, '4959edc1c88c886e'), (167, '653badc17d8f087e'), (168, '493b2d50518f1154'), (169, '697b9f80dddf1176'), (170, '041ead40d08d995e'), (171, '415abdb07dcf8976'), (172, '41526d187baf987b'), (173, '651ded80ddcf1846'), (174, '482ffda97fef4877'), (175, '088de986e7ed885e'), (176, '417bad60f96b0856'), (177, 'f17abd40ed8f885e'), (178, '69176dc06197806e'), (179, '4139ad40558b997e'), (180, '6519a9804cab017e'), (181, '6468a950cd8b195c'), (182, '490fad84f54f4876'), (183, 'c1461d01f15f8c76'), (184, '4569adc0c1cf1856'), (185, '4971edc0519d9946'), (186, '490bed0875ef1876'), (187, '494bad40e98e1856'), (188, '6d4dedc9fd8f486e'), (189, '417aad60759581ff'), (190, '4979ad80ddef9876'), (191, '503dbdc0c88d08de'), (192, '6c71e800c58b985e'), (193, '603f2dc0b58f1c7e'), (194, '612fbd21657fc876'), (195, '415ba980c1cd887e'), (196, '492bfd44d5dba076'), (197, '415aad4065af0976'), (198, '603c2c60d59fc874'), (199, '6838a580edad485e'), (200, '496bbd24f5cf1956'), (201, '4149e9c9e18d084e'), (202, '496cadc0fdcf485e'), (203, '405aace0378f117e'), (204, '4d0fad81d5cf4a36'), (205, '401eed80fd8d085e'), (206, '4b58a5407dec81df'), (207, 'e15fed41f14f0876'), (208, 'f06fa1e0a549084e'), (209, '49382dc0bdccc85f'), (210, '490fad00f5cfd956'), (211, '414bfd017f8e9977'), (212, '410f8f0461532d76'), (213, '491ead80e58fc87e'), (214, 'e2f81f00bf8b185e'), (215, '491eadc0758f595e'), (216, '402bfd08e19f1876'), (217, '6148ad40edcf487e'), (218, '4169bdc967af0972'), (219, '691b2900eff301ff'), (220, '6879ed80d58b1956'), (221, '681abd806d8f887e'), (222, '647aaf80f98f187e'), (223, '497dad80fdef087e'), (224, '692bbd00e3a319d7'), (225, '414bed44518db976'), (226, '4558a9454c8f9b70'), (227, '492bad04edcb1956'), (228, '612e2f40f5dfc876'), (229, '417b8d847dcf1876'), (230, '612bad446dcb1856'), (231, '4d19a844ddcf0946'), (232, 'c107ad40e94d0cde'), (233, '616f6de175df6974'), (234, '091eadc075afc87e'), (235, '616fad89ed6f48fe'), (236, '60cde0a9c68d083e'), (237, '487bbde0f53f9976'), (238, '455899c47dce4876'), (239, '401e8f00bf4a0856'), (240, '4d1ead8065cf4a76'), (241, '417bade0558f5976'), (242, '690fa980e5ef0d7e'), (243, '621a2d402b88087e'), (244, '706fbda4e5ef0876'), (245, '453bad04c9cf9856'), (246, '643aad90cd8bd85e'), (247, '497b6d806daf086c'), (248, '601bed806d8f087f'), (249, '6d5bed807d8f1846'), (250, '683bbf80e9030856'), (251, '491dbd80d48f0876'), (252, 'e86f3da1edef4876'), (253, '691b9d817defc876'), (254, 'e80d6caaafc9586e'), (255, '6b231580357f8177'), (256, '0368ad6c66890e7b'), (257, '683eaea0659f483e'), (258, '49672da1f94fc876'), (259, 'e13f4e88ff1b0076'), (260, 'c979a180ec6d086e'), (261, '496fad40f54f8876'), (262, '457aad407d8b997e'), (263, '414fa9c1f18f087e'), (264, '413bfd80f58f1876'), (265, 'e02d2840d5df9176'), (266, '680bbd80e1cf4876'), (267, '411abd80754fc976'), (268, '616f6dc8f50b386e'), (269, '493abf807d8f4856'), (270, '695f6d80ffaf087e'), (271, '410ffda9615f0874'), (272, '406abd20f5cfc876'), (273, 'e50dad816c8f187e'), (274, '692f6d81edef0876'), (275, '4d032d03f14e0856'), (276, '4159ad80fdcf0876'), (277, '1168bde5756ffc76'), (278, '5117ed40d5cd9977'), (279, '491abf007d9fc157'), (280, '696e2d80ed8fc87e'), (281, 'e94db945e56f4856'), (282, '602f6d89e185287c'), (283, '411aad00fdcf1956'), (284, '696feda97def4874'), (285, '490fadc0f5cf487e'), (286, '4148a9c0618f1152'), (287, '60a565996daf4855'), (288, '690aad11eb8f89d6'), (289, '4d0dad81fdcf08d6'), (290, '4559e5c9dc8d08ee'), (291, '610bed00e59b9876'), (292, 'e06b0d28f5cf0876'), (293, '455de581fdcd08c6'), (294, '692bb984e7ef187f'), (295, '4178ed0445831175'), (296, '61470d98fd4f0876'), (297, '791fed81a5af0876'), (298, 'e10dad40cdc5096e'), (299, '495bad80f5ef187e'), (300, '716d2dc8a56b1c46'), (301, '490fadc0f5cf487e'), (302, '6549e980c58d0876'), (303, '696ea941edcf487e'), (304, '250cadc0ed8d585e'), (305, '611fed4161132361'), (306, '416bad4061771972'), (307, '410b9d0067cf9976'), (308, 'c01bfd00fb0881d6'), (309, '490fbd40c14f8a56'), (310, '0960a955c7af997b'), (311, '4429ad81ec8f087e'), (312, 'e16dbd81edcf48fe'), (313, '2d4acdc0598cd874'), (314, '697bbd00edef5856'), (315, '610fadc1e76f087e'), (316, '412fade4f54f487e'), (317, 'e05a2d00efcb087e'), (318, 'c97aad40b5cb0976'), (319, '692fbdc5e5ff4877'), (320, '793bbdc0e58f1956'), (321, '692f29c4456f0875'), (322, 'c91fa942f9c488de'), (323, '4958edc1c88c086e'), (324, '591bbf80755ec876'), (325, '417badc07d8f9956'), (326, 'e10cabc0e4ef087e'), (327, '490de9c1e5cf0c6e'), (328, '490fed81e59f0876'), (329, '490aad0069cb085e'), (330, '686aad60f5c9887e'), (331, '610fa9c5e5df2b76'), (332, '6105e54c659339d7'), (333, '492fbd20f56dc876'), (334, '695aedc1d18fc854'), (335, '697f6f40f9cf6844'), (336, '6169f9a9e5ef0876'), (337, '610daccd65df6876'), (338, '4963dd0c716ab852'), (339, '4111ed003dd831d6'), (340, '4177a984f14f0c56'), (341, '491bed80f58f087e'), (342, 'e159ef8079dc30fe'), (343, 'e07aa948bd0b084e'), (344, '410cad00edcf187e'), (345, '692bbf00ff8b0876'), (346, '7579a9c0d5cd1c4e'), (347, '4178bde0748d197e'), (348, '017ba9c0d14d1d7e'), (349, '693ab5c064af487e'), (350, '491e2d98bfcf087e'), (351, '414bbdc067af0976'), (352, '611bed0065cb2976'), (353, '5953a540fd6f1856'), (354, '682aad00adcf0856'), (355, '414ab98d6bef08d2'), (356, '414ead81e9cd487e'), (357, '604c6dc1ddcfc87c'), (358, '54f19d91d44f8874'), (359, '60273ea1cd9fc176'), (360, '450fadc1f1cf087e'), (361, '711ffd805ddf8877'), (362, '082d6cbd66ef487f'), (363, '68332d90ddcf1156'), (364, '690facc8f59f5976'), (365, '60b42c909c8f0036'), (366, '415be9c1459f8976'), (367, '631bed406deb3c5e'), (368, '51fda5e95c2f48e9'), (369, '403a2d08798b087e'), (370, '6511e58c4ce118ff'), (371, '4953ed80dfef997e'), (372, '49077da0b54f4856'), (373, '41339dc0d48f9976'), (374, '4179ed4445831175'), (375, '4d19ed40458f997f'), (376, '515fed80f54d0856'), (377, '68782d10fdcd08ff'), (378, '495bed00756f1a76'), (379, '491abdc07d8e0977'), (380, '490ebf21e58f4956'), (381, '601de984e18d095e'), (382, '783bfd04e58bd857'), (383, '600fed4ce18b2956'), (384, '69ef2d21eb47487c'), (385, '6a2b3908ebaf095f'), (386, '693abd80fd8fc856'), (387, '414ead69e76e0d76'), (388, '683ffda0efa7487f'), (389, '0940a855c58f997b'), (390, '492abd0075cfc974'), (391, 'c96fed64e54b4856'), (392, 'cd4da94ce66f1dd6'), (393, '493f6d80d59f0876'), (394, 'c92f9f80f74f0876'), (395, '4129bdc565af4877'), (396, '416fed01f54f087e'), (397, 'e52da9c1cd8fc8de'), (398, '4b1ca560e58c89df'), (399, '6917ed80fdcf5956'), (400, '505ebde0e40f0816'), (401, '600eadc1ad8f0876'), (402, '689a9d90afaf897e'), (403, '493bad00f58f087e'), (404, 'e95aad40bdde887e'), (405, '4223ed40f5cbbd57'), (406, '493ba540c5e74854'), (407, '4975a5c1cca7086f'), (408, '0458ada8648f097e'), (409, '614bad41bd4e6874'), (410, '694ba940f7ef1976'), (411, '497bad807def187e'), (412, '683aad9035afd87e'), (413, '411abd8475cfc977'), (414, '6d5a2e907d8fc856'), (415, '697a8d107d8b997e'), (416, '692dbd81edaf485f'), (417, '696f2dc0b1cf187e'), (418, '710fedc1c51f0936'), (419, '406b9d20b74b0976'), (420, '493f6d80d59f0876'), (421, '610ffdc1e77f087e'), (422, '411fedc4f10d0856'), (423, '690fed85e1cf4876'), (424, '691f2d81fdcf085e'), (425, '400faea0715fe916'), (426, '650fadc1ed8f0856'), (427, '6069fd20fd8f9876'), (428, '4019e944e78909df'), (429, '616dbdc4e5af087f'), (430, '4931ed81dd8f0856'), (431, '4979ad00558b9974'), (432, '416dade0f56f0876'), (433, '493bbfb0d5bfc936'), (434, '495aad40fdcc887e'), (435, 'e0393d80d58b887e'), (436, '491fed00e7a78856'), (437, '5d59a9c0f5cd587e'), (438, 'e13d2dc0d5cb067e'), (439, '451bed49e80f08d6'), (440, '412fa9c5c1670856'), (441, '415dad80d48f0976'), (442, '656ba5c96caf087e'), (443, '6969e540e58b7856'), (444, '6d0f9d80e5cf5856'), (445, '4958a9407f88897f'), (446, '696ff5e425296877'), (447, '494badc0fddf9976'), (448, '606eeda8e789087e'), (449, '711bfd806dab0857'), (450, '4b3badd064bbda7e'), (451, '603a6d082d9b006e'), (452, '710ffdc1e5a70856'), (453, '695fad80fdef087e'), (454, '4507edc1618d884a'), (455, '434ea1ebe7452cea'), (456, '617c0db1fdcf4874'), (457, 'e10cafc1ecef087e'), (458, '495be900f98c09de'), (459, '4159ed88fdcf197e'), (460, '4910bd807dafc957'), (461, '495badccf52f0976'), (462, '495ae900f98c09de'), (463, 'e16cad40edcf887f'), (464, '6539a904efab115e'), (465, '690e2d81e9a7085e'), (466, '495aa9c0fd8f0976'), (467, '697bed60ed834844'), (468, '614ebd41ad9ff8d7'), (469, '432aad4026231d78'), (470, '6105a904edef1d7f'), (471, '69546c707d9fc976'), (472, '010ca9c0e68f087e'), (473, '414fad89e7ef187e'), (474, '597bb9c045efd876'), (475, '606ebda165af487e'), (476, '45782d48d9cb3044'), (477, 'e94f9bc1d59e4a36'), (478, '451ead8065cf0a76'), (479, '61717d88c5eb1d76'), (480, '692d2d44c5c35976'), (481, '094f9aa4e17e0936'), (482, '683bfd806583485f'), (483, '414ebda9f52f0876'), (484, '591feda0f54cc876'), (485, '494f9da4656f5976'), (486, '60393d00d58b807e'), (487, '612dadc1bdcf284e'), (488, '60215d98cd9f1976'), (489, '615a2910fbcb0977'), (490, '602dad02bdcb08de'), (491, '712bbdc0edeb1856'), (492, '8905b9c4d4fd9dff'), (493, '697bfd046dcba856'), (494, '4913ada475678977'), (495, '4115ed807d8d1956'), (496, '4d69ad84d5cd5876'), (497, '4823090c955b1476'), (498, '4969b985f5efc87f'), (499, '2d0e8f83fcce487e')) AS t(doc_id, simhash_hex)",
+        "minhash_near_dup": "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b FROM (VALUES (0, 1000), (2, 1002), (4, 1004), (6, 1006), (8, 1008), (10, 1010), (12, 1012), (14, 1014), (16, 1016), (18, 1018), (20, 1020), (22, 1022)) AS t(doc_a, doc_b)",
+        "simhash": "SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash_hex FROM (VALUES (0, '0000000000000000'), (1, '9a08c8ea20d20653'), (2, '9a08c8ea20d20653'), (3, '9a08c8ea20d20653'), (4, 'ae2e3fac884c4c13'), (5, '9a08c8ea20d20653'), (6, '8a0808a800400413'), (7, '8a0808a800400413'), (8, 'f588132ed85947f8'), (9, 'be081bae88584653'), (10, '8a0808a800400413'), (11, 'c8e3a12b03aa3848')) AS t(doc_id, simhash_hex)",
         # CLOSED-FORM planted-duplicate oracle (see _q_cosine_near_dup:
         # provable from the construction, not generated by the engine)
         "cosine_near_dup": "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b FROM (VALUES (0, 1000), (2, 1002), (4, 1004), (6, 1006), (8, 1008), (10, 1010), (12, 1012), (14, 1014), (16, 1016), (18, 1018), (20, 1020), (22, 1022)) AS t(doc_a, doc_b)",

@@ -194,6 +194,8 @@ def cosine_near_dup(
     bits: Optional[int] = None,
     *,
     target_bucket: int = 256,
+    bucket_cap: Optional[int] = 4096,
+    cap_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> rd.Dataset:
@@ -210,7 +212,22 @@ def cosine_near_dup(
     pairs — raise ``target_bucket`` to trade compute for recall.) The
     plane matrix is a fixed-seed deterministic function of (dim, bits),
     derived once per worker process, not per batch.
+
+    ``bucket_cap`` (round-3, VERDICT r2 #5): auto-bits keeps the EXPECTED
+    bucket small, but a direction-degenerate corpus (many near-identical
+    embeddings) still collapses into one bucket whose map_groups refine is
+    O(m²) in a single task. Buckets whose population exceeds the cap are
+    BLOCK-DECOMPOSED: rows get block β = h(id) mod ``cap_blocks`` and are
+    replicated into every block-pair group (bucket, lo, hi) their block
+    touches; each group refines only lo×hi cross pairs (or the lo==hi
+    triangle), so every pair is still produced exactly once — identical
+    output, worst-case group size 2·m/blocks. ``bucket_cap=None``
+    disables the (one count-aggregation) detection pass.
     """
+    import ray
+
+    from ..util import cached_get
+
     if bits is None:
         n = vectors.count()
         bits = int(np.clip(np.ceil(np.log2(max(n, 1) / target_bucket)), 4, 24))
@@ -230,25 +247,126 @@ def cosine_near_dup(
             }
         )
 
+    bucketized = vectors.map_batches(bucketize, batch_format="pyarrow")
+
+    hot_ref = None
+    if bucket_cap is not None and cap_blocks > 1:
+        from ray.data.aggregate import Sum
+
+        bucketized = bucketized.materialize()  # count pass + explode pass
+
+        def partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                batch["bucket"].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(u, pa.uint64()),
+                    "n_part": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        hot_ds = (
+            bucketized.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_part", alias_name="n"))
+            .map_batches(
+                lambda t: t.filter(pa.compute.greater(t["n"], bucket_cap)).select(
+                    ["bucket"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        parts = [
+            b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for b in hot_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        ]
+        flat = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        hot_ref = ray.put(np.sort(flat)) if len(flat) else None
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        """Assign block ids; replicate hot-bucket rows into each block-pair
+        group they participate in (cold rows: single group (0, 0))."""
+        n = batch.num_rows
+        if hot_ref is None:
+            return batch.append_column(
+                "blk", pa.array(np.zeros(n, np.int8), pa.int8())
+            ).append_column(
+                "lo", pa.array(np.zeros(n, np.int8), pa.int8())
+            ).append_column("hi", pa.array(np.zeros(n, np.int8), pa.int8()))
+        hot = cached_get(hot_ref)
+        bk = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.searchsorted(hot, bk)
+        idx[idx >= len(hot)] = len(hot) - 1
+        is_hot = hot[idx] == bk
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        blk = np.where(
+            is_hot, (ids * np.uint64(2654435761)) % np.uint64(cap_blocks), 0
+        ).astype(np.int8)
+        tables = []
+        t_blk = batch.append_column("blk", pa.array(blk, pa.int8()))
+        cold = t_blk.filter(pa.array(~is_hot))
+        tables.append(
+            cold.append_column(
+                "lo", pa.array(np.zeros(cold.num_rows, np.int8), pa.int8())
+            ).append_column("hi", pa.array(np.zeros(cold.num_rows, np.int8), pa.int8()))
+        )
+        hot_t = t_blk.filter(pa.array(is_hot))
+        hblk = blk[is_hot]
+        for other in range(cap_blocks):
+            # the (min(blk,other), max(blk,other)) group covers every pair
+            # this row can form with a row of block ``other``
+            lo = np.minimum(hblk, other).astype(np.int8)
+            hi = np.maximum(hblk, other).astype(np.int8)
+            tables.append(
+                hot_t.append_column("lo", pa.array(lo, pa.int8())).append_column(
+                    "hi", pa.array(hi, pa.int8())
+                )
+            )
+        return pa.concat_tables(tables)
+
     def refine(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy(dtype=np.int64)
+        blk = g["blk"].to_numpy(dtype=np.int8)
+        lo = int(g["lo"].iloc[0])
+        hi = int(g["hi"].iloc[0])
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
         order = np.argsort(ids)
-        ids, m = ids[order], m[order]
-        sim = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= threshold
+        ids, m, blk = ids[order], m[order], blk[order]
+        if lo == hi:
+            # triangle within one block (covers the cold lo==hi==0 case)
+            sel = blk == lo
+            ids_s, m_s = ids[sel], m[sel]
+            sim = m_s @ m_s.T
+            ia, ib = np.triu_indices(len(ids_s), k=1)
+            keep = sim[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": ids_s[ia][keep],
+                    "doc_b": ids_s[ib][keep],
+                    "score": sim[ia, ib][keep],
+                }
+            )
+        # cross pairs between the two blocks only — each unordered pair
+        # appears in exactly one (lo, hi) group
+        a_sel, b_sel = blk == lo, blk == hi
+        ids_a, m_a = ids[a_sel], m[a_sel]
+        ids_b, m_b = ids[b_sel], m[b_sel]
+        sim = m_a @ m_b.T
+        ia, ib = np.nonzero(sim >= threshold)
+        da, db = ids_a[ia], ids_b[ib]
+        swap = da > db
         return pd.DataFrame(
             {
-                "doc_a": ids[ia][keep],
-                "doc_b": ids[ib][keep],
-                "score": sim[ia, ib][keep],
+                "doc_a": np.where(swap, db, da),
+                "doc_b": np.where(swap, da, db),
+                "score": sim[ia, ib],
             }
         )
 
     return (
-        vectors.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        bucketized.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby(["bucket", "lo", "hi"])
         .map_groups(refine, batch_format="pandas")
     )
 

@@ -142,10 +142,153 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: rd.Dataset, id_col: str = "doc_id", bands: int = 16
+# ---------------------------------------------------------------------------
+# hot-bucket salting for the bucket self-joins (round-3, VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SALT_MIX = np.uint64(2654435761)
+
+
+def _combined_key(batch: pa.Table, band_col: str, hash_col: str) -> np.ndarray:
+    """(band, hash) → one int64 key (uint64 mix reinterpreted as int64
+    bits — Ray's hash-shuffle groupby rejects uint64 keys above int64
+    max). A (astronomically unlikely) mix collision merely over-salts a
+    cold key — salting is correctness-neutral in both directions, so this
+    needs no exactness."""
+    b = batch[band_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (h * _KEY_MIX + b).view(np.int64)
+
+
+def _hot_keys(rows: rd.Dataset, band_col: str, hash_col: str, cap: int):
+    """SORTED uint64 combined keys whose GLOBAL population exceeds ``cap``
+    (exact: per-batch partial counts → Sum groupby → distributed filter;
+    only the tiny hot list reaches the driver). Returns a ray.ObjectRef or
+    None when no bucket is hot."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(_combined_key(batch, band_col, hash_col), return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "n_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hot = (
+        rows.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], cap)).select(["k"]),
+            batch_format="pyarrow",
+        )
+    )
+    parts = [
+        b["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in hot.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    ]
+    flat = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    if not len(flat):
+        return None
+    return ray.put(np.sort(flat))
+
+
+def _salted_bucket_self_join(
+    rows: rd.Dataset,
+    band_col: str,
+    hash_col: str,
+    id_col: str,
+    left_cols: dict,
+    right_cols: dict,
+    hot_bucket_cap,
+    hot_salt: int,
 ) -> rd.Dataset:
-    """Signatures → candidate (doc_a < doc_b) pairs via band-bucket groupby."""
+    """Self-join ``rows`` on (band, hash) with skew-salted hot buckets.
+
+    A bucket of population m lands m·m join work on ONE aggregator
+    partition; a degenerate corpus (one shared band hash) makes that
+    O(n²)-in-one-task. Standard skew-join salting spreads it WITHOUT
+    changing the pair set: hot left rows get salt = h(id) mod s, hot
+    right rows are replicated once per salt, cold rows ride salt 0 —
+    every (a, b) pair still meets in exactly one (key, salt) partition.
+    ``hot_bucket_cap=None`` disables detection (one small count
+    aggregation) and salting entirely.
+    """
+    from ..util import JOIN_AGG_ARGS, cached_get, join_partitions
+
+    hot_ref = (
+        _hot_keys(rows, band_col, hash_col, hot_bucket_cap)
+        if hot_bucket_cap is not None and hot_salt > 1
+        else None
+    )
+
+    def mk(side_cols: dict, is_left: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {band_col: batch[band_col], hash_col: batch[hash_col]}
+            for dst, src in side_cols.items():
+                cols[dst] = batch[src]
+            if hot_ref is None:
+                cols["salt"] = pa.array(np.zeros(n, np.int32), pa.int32())
+                return pa.table(cols)
+            hot = cached_get(hot_ref)
+            k = _combined_key(batch, band_col, hash_col)
+            idx = np.searchsorted(hot, k)
+            idx[idx >= len(hot)] = len(hot) - 1
+            is_hot = hot[idx] == k
+            if is_left:
+                ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+                salt = np.where(
+                    is_hot, (ids * _SALT_MIX) % np.uint64(hot_salt), 0
+                ).astype(np.int32)
+                cols["salt"] = pa.array(salt, pa.int32())
+                return pa.table(cols)
+            t = pa.table(cols)
+            cold = t.filter(pa.array(~is_hot)).append_column(
+                "salt", pa.array(np.zeros(int((~is_hot).sum()), np.int32), pa.int32())
+            )
+            if not is_hot.any():
+                return cold
+            hot_t = t.filter(pa.array(is_hot))
+            reps = [
+                hot_t.append_column(
+                    "salt", pa.array(np.full(hot_t.num_rows, s, np.int32), pa.int32())
+                )
+                for s in range(hot_salt)
+            ]
+            return pa.concat_tables([cold] + reps)
+
+        return f
+
+    left = rows.map_batches(mk(left_cols, True), batch_format="pyarrow")
+    right = rows.map_batches(mk(right_cols, False), batch_format="pyarrow")
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=(band_col, hash_col, "salt"),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: rd.Dataset,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    *,
+    hot_bucket_cap: int | None = 65536,
+    hot_salt: int = 16,
+) -> rd.Dataset:
+    """Signatures → candidate (doc_a < doc_b) pairs via band-bucket groupby.
+
+    ``hot_bucket_cap``: buckets whose population exceeds this are
+    skew-salted across ``hot_salt`` join sub-keys (identical pair set —
+    see ``_salted_bucket_self_join``); ``None`` disables the (one small
+    count-aggregation) detection pass."""
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -180,30 +323,20 @@ def lsh_candidate_pairs(
     # verification dedups via groupby-aggregate (also vectorized).
     import ray
 
-    # materialize the band rows: BOTH sides of the self-join consume them,
-    # and a lazy plan would otherwise recompute the upstream minhash
-    # signatures twice (the dominant cost of the whole pipeline)
+    # materialize the band rows: BOTH sides of the self-join consume them
+    # (plus the hot-bucket count pass), and a lazy plan would otherwise
+    # recompute the upstream minhash signatures per consumer (the dominant
+    # cost of the whole pipeline)
     rows = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
-    left = rows.map_batches(
-        lambda t: pa.table(
-            {"band": t["band"], "band_hash": t["band_hash"], "doc_a": t[id_col]}
-        ),
-        batch_format="pyarrow",
-    )
-    right = rows.map_batches(
-        lambda t: pa.table(
-            {"band": t["band"], "band_hash": t["band_hash"], "doc_b": t[id_col]}
-        ),
-        batch_format="pyarrow",
-    )
-    from ..util import JOIN_AGG_ARGS, join_partitions
-
-    joined = left.join(
-        right,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("band", "band_hash"),
-        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    joined = _salted_bucket_self_join(
+        rows,
+        "band",
+        "band_hash",
+        id_col,
+        left_cols={"doc_a": id_col},
+        right_cols={"doc_b": id_col},
+        hot_bucket_cap=hot_bucket_cap,
+        hot_salt=hot_salt,
     )
     return joined.map_batches(
         lambda t: t.filter(pa.compute.less(t["doc_a"], t["doc_b"])).select(
@@ -462,12 +595,18 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sigs: rd.Dataset, id_col: str = "doc_id", max_hamming: int = 3
+    sigs: rd.Dataset,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    *,
+    hot_bucket_cap: int | None = 65536,
+    hot_salt: int = 16,
 ) -> rd.Dataset:
     """Pairs with hamming(simhash) ≤ max_hamming via chunk banding.
 
     Pigeonhole: split 64 bits into (max_hamming+1) chunks — any pair within
-    distance d shares at least one identical chunk.
+    distance d shares at least one identical chunk. Hot chunk buckets are
+    skew-salted like ``lsh_candidate_pairs`` (identical pair set).
     """
     nchunks = max_hamming + 1
     width = 64 // nchunks
@@ -497,39 +636,18 @@ def simhash_near_pairs(
     import ray
     from ray.data.aggregate import Min
 
-    # materialize: both self-join sides consume these rows (see
-    # lsh_candidate_pairs — avoids recomputing the signatures twice)
+    # materialize: both self-join sides + the hot-bucket count pass consume
+    # these rows (avoids recomputing the signatures per consumer)
     rows = sigs.map_batches(explode, batch_format="pyarrow").materialize()
-    left = rows.map_batches(
-        lambda t: pa.table(
-            {
-                "chunk": t["chunk"],
-                "chunk_val": t["chunk_val"],
-                "doc_a": t[id_col],
-                "sh_a": t["simhash"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    right = rows.map_batches(
-        lambda t: pa.table(
-            {
-                "chunk": t["chunk"],
-                "chunk_val": t["chunk_val"],
-                "doc_b": t[id_col],
-                "sh_b": t["simhash"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    from ..util import JOIN_AGG_ARGS, join_partitions
-
-    joined = left.join(
-        right,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("chunk", "chunk_val"),
-        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    joined = _salted_bucket_self_join(
+        rows,
+        "chunk",
+        "chunk_val",
+        id_col,
+        left_cols={"doc_a": id_col, "sh_a": "simhash"},
+        right_cols={"doc_b": id_col, "sh_b": "simhash"},
+        hot_bucket_cap=hot_bucket_cap,
+        hot_salt=hot_salt,
     )
 
     def hamming_filter(t: pa.Table) -> pa.Table:
@@ -600,12 +718,22 @@ def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
     )
     labels = _minimize(self_rows.union(neigh_rows)).materialize()
     prev_sum = labels.sum("label")
+    n_labels = labels.count()
 
     for _ in range(max_rounds):
+        if not n_labels:
+            break
+        # HEAL empty partitions before the join: the hash-shuffle groupby
+        # behind _minimize can emit zero-COLUMN empty blocks for empty
+        # partitions; those bypass map_batches and crash Acero's
+        # per-partition join ("No match for key field"). A repartition to
+        # ≤ row-count blocks rebuilds every block schema-ful (measured;
+        # see NOTES_ROUND2 empty-partition rule).
+        k = max(1, min(npart, n_labels))
         peer_labels = labels.map_batches(
             lambda t: pa.table({"lnode": t["node"], "plabel": t["label"]}),
             batch_format="pyarrow",
-        )
+        ).repartition(k)
         propagated = edges.join(
             peer_labels,
             join_type="inner",

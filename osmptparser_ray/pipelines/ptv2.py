@@ -33,11 +33,16 @@ def parser_tables_from_pages(
     validate: bool = True,
     dedup: bool = False,
     concurrency: Optional[int | tuple[int, int]] = None,
+    id_set_mode: str = "exact",
 ) -> ParserTables:
-    """pages parquet → ParserTables (the reference Parser::new equivalent)."""
+    """pages parquet → ParserTables (the reference Parser::new equivalent).
+
+    ``id_set_mode="bloom"`` switches the J1/J2 semi-join sides from exact
+    sorted-array broadcasts to Bloom prefilter + exact post-join (same
+    tables; for id sets too big to ``ray.put``)."""
     pages = read_pages(pages_path, validate=validate)
     elements = extract_elements(pages, validate=validate, concurrency=concurrency)
-    return build_parser_tables(elements, filters, dedup=dedup)
+    return build_parser_tables(elements, filters, dedup=dedup, id_set_mode=id_set_mode)
 
 
 def public_transports_from_pages(

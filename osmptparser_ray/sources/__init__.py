@@ -6,6 +6,8 @@ from .pages import (
     synthesize_pages_table,
 )
 from .pbf import read_pbf_elements, scan_pbf_blobs
+from .pbf_write import write_pbf, write_pbf_shards
+from .vecparse import extract_payloads, parse_payload_batch
 
 __all__ = [
     "ELEMENT_SCHEMA",
@@ -16,6 +18,10 @@ __all__ = [
     "parse_osm_payload",
     "read_pbf_elements",
     "scan_pbf_blobs",
+    "extract_payloads",
+    "parse_payload_batch",
     "synthesize_pages_parquet",
     "synthesize_pages_table",
+    "write_pbf",
+    "write_pbf_shards",
 ]

@@ -183,6 +183,67 @@ def _q_ptv2_from_pbf(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _pt_observable(ds):
+    """The shared ptv2 projection (id/name/version/ts/n_stops/status/
+    n_geom_points) — one oracle, many physical plans."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        from osmptparser_ray.kernel.filters import get_tag_values
+
+        names = get_tag_values(batch, "name", "tags")
+        versions = get_tag_values(batch, "version", "info")
+        timestamps = get_tag_values(batch, "timestamp", "info")
+        n_stops = pc.list_value_length(batch["stops"])
+        n_geom = [sum(len(seg) for seg in g) for g in batch["geometry"].to_pylist()]
+        return pa.table(
+            {
+                "id": batch["id"],
+                "name": pa.array(names.tolist(), pa.string()),
+                "version": pa.array(versions.tolist(), pa.string()),
+                "ts": pa.array(timestamps.tolist(), pa.string()),
+                "n_stops": pc.cast(n_stops, pa.int64()),
+                "status_code": batch["status_code"],
+                "n_geom_points": pa.array(n_geom, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_ptv2_bloom(sf_dir: str):
+    """The SAME observable as ptv2_fixture through the id_set_mode="bloom"
+    ingest (round-3: Bloom prefilter + exact false-positive subtraction
+    instead of exact sorted-array broadcasts) — one oracle, third physical
+    plan; proves the at-scale id-set fallback end-to-end."""
+    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+
+    ds = public_transports_from_pages(
+        _fixture_pages(1), gap=1500.0, id_set_mode="bloom"
+    )
+    return _pt_observable(ds)
+
+
+def _q_pbf_roundtrip(sf_dir: str):
+    """reference test.pbf → elements → write_pbf (round-3 sink) →
+    re-read → ptv2 pipeline: the ptv2_fixture observable through a full
+    binary round-trip proves the writer's wire format end-to-end."""
+    import os
+    import tempfile
+
+    from osmptparser_ray.kernel.filters import PTV2
+    from osmptparser_ray.pipelines.ptv2 import parser_tables_from_pbf
+    from osmptparser_ray.sources.pbf import read_pbf_elements
+    from osmptparser_ray.sources.pbf_write import write_pbf
+    from osmptparser_ray.stages.assemble import get_public_transports
+
+    out = os.path.join(tempfile.gettempdir(), "osmray_q_roundtrip.osm.pbf")
+    write_pbf(
+        read_pbf_elements("/root/reference/tests/test.pbf"), out, batch_size=300
+    )
+    tables = parser_tables_from_pbf(out, PTV2)
+    return _pt_observable(get_public_transports(tables, 1500.0))
+
+
 def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
@@ -956,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ptv2_fixture": _q_ptv2_fixture,
         "ptv2_from_pbf": _q_ptv2_from_pbf,
+        "ptv2_bloom_ingest": _q_ptv2_bloom,
+        "pbf_roundtrip": _q_pbf_roundtrip,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -1023,6 +1086,26 @@ def oracle_sql() -> dict[str, str]:
         # (tests/integration_test.rs:9-18) + transliteration-verified
         # geometry counts (FIXTURES.md §2)
         "ptv2_fixture": (
+            "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
+            "CAST(n_stops AS BIGINT) AS n_stops, "
+            "CAST(status_code AS BIGINT) AS status_code, "
+            "CAST(n_geom_points AS BIGINT) AS n_geom_points FROM (VALUES "
+            "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
+            "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
+            ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
+        ),
+        # identical golden through the Bloom-fallback ingest plan (round-3)
+        "ptv2_bloom_ingest": (
+            "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
+            "CAST(n_stops AS BIGINT) AS n_stops, "
+            "CAST(status_code AS BIGINT) AS status_code, "
+            "CAST(n_geom_points AS BIGINT) AS n_geom_points FROM (VALUES "
+            "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
+            "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
+            ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
+        ),
+        # identical golden through write_pbf -> re-read (round-3 sink)
+        "pbf_roundtrip": (
             "SELECT CAST(id AS BIGINT) AS id, name, version, ts, "
             "CAST(n_stops AS BIGINT) AS n_stops, "
             "CAST(status_code AS BIGINT) AS status_code, "

@@ -53,10 +53,12 @@ def public_transports_from_pages(
     mode: Literal["broadcast", "shuffle"] = "broadcast",
     validate: bool = True,
     concurrency: Optional[int | tuple[int, int]] = None,
+    id_set_mode: str = "exact",
 ) -> rd.Dataset:
     """new_ptv2 + get_public_transports, end-to-end."""
     tables = parser_tables_from_pages(
-        pages_path, filters, validate=validate, concurrency=concurrency
+        pages_path, filters, validate=validate, concurrency=concurrency,
+        id_set_mode=id_set_mode,
     )
     return get_public_transports(tables, gap, mode=mode, concurrency=concurrency)
 

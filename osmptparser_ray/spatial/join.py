@@ -41,6 +41,7 @@ from .cell import (
     choose_level_for_radius,
     cover_bbox,
     encode_cell,
+    xy_to_cell,
 )
 from .pip import pack_ring, points_in_ring, ring_bbox, unpack_ring
 
@@ -276,64 +277,104 @@ def pip_join_broadcast(
             }
         )
 
-    rings: list[tuple[int, bytes, float, float, float, float]] = []
+    # COLUMNAR driver collect (round-3: the per-row zip/to_pylist rows and
+    # the per-ring python cover loop were the plan's residual serial cost
+    # at high CPU counts — everything below is numpy over whole arrays)
+    gid_p, blob_p, bb_p = [], [], []
     for b in polygons.map_batches(_ring_rows, batch_format="pyarrow").iter_batches(
         batch_size=1 << 14, batch_format="pyarrow"
     ):
-        rings.extend(
-            zip(
-                b["gid"].to_pylist(),
-                b["blob"].to_pylist(),
-                b["min_lon"].to_pylist(),
-                b["min_lat"].to_pylist(),
-                b["max_lon"].to_pylist(),
-                b["max_lat"].to_pylist(),
+        gid_p.append(b["gid"].to_numpy(zero_copy_only=False).astype(np.int64))
+        blob_p.extend(b["blob"].to_pylist())
+        bb_p.append(
+            np.stack(
+                [
+                    b["min_lon"].to_numpy(zero_copy_only=False),
+                    b["min_lat"].to_numpy(zero_copy_only=False),
+                    b["max_lon"].to_numpy(zero_copy_only=False),
+                    b["max_lat"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
             )
         )
+    gids = np.concatenate(gid_p) if gid_p else np.empty(0, np.int64)
+    bbox = np.concatenate(bb_p) if bb_p else np.empty((0, 4))
+    n_rings = len(gids)
 
     # coarse bbox-cover index: level chosen so a typical ring's bbox spans
     # O(1) cells (median bbox extent ≈ cell size), clamped to [4, 14]
-    if rings:
-        extents = np.array(
-            [max(r[4] - r[2], r[5] - r[3], 1e-9) for r in rings], dtype=np.float64
+    if n_rings:
+        extents = np.maximum(
+            np.maximum(bbox[:, 2] - bbox[:, 0], bbox[:, 3] - bbox[:, 1]), 1e-9
         )
         med = float(np.median(extents))
         index_level = int(np.clip(np.floor(np.log2(180.0 / med)), 4, 14))
     else:
         index_level = 8
-    cell_to_polys: dict = {}
-    for i, (_gid, _blob, min_lon, min_lat, max_lon, max_lat) in enumerate(rings):
-        for c in cover_bbox(min_lon, min_lat, max_lon, max_lat, index_level):
-            cell_to_polys.setdefault(int(c), []).append(i)
-    index = {c: np.array(v, dtype=np.int64) for c, v in cell_to_polys.items()}
-    rings_ref = ray.put((rings, index, index_level))
+    # vectorized cover expansion (same repeat/cumsum shape as
+    # _route_cover_rows) → sorted-cell CSR index: keys / offsets / ring ids
+    ncell = 1 << index_level
+    if n_rings:
+        x0 = np.clip(np.floor((bbox[:, 0] + 180.0) / 360.0 * ncell), 0, ncell - 1).astype(np.int64)
+        x1 = np.clip(np.floor((bbox[:, 2] + 180.0) / 360.0 * ncell), 0, ncell - 1).astype(np.int64)
+        y0 = np.clip(np.floor((bbox[:, 1] + 90.0) / 180.0 * ncell), 0, ncell - 1).astype(np.int64)
+        y1 = np.clip(np.floor((bbox[:, 3] + 90.0) / 180.0 * ncell), 0, ncell - 1).astype(np.int64)
+        wx, wy = x1 - x0 + 1, y1 - y0 + 1
+        cnt = wx * wy
+        total = int(cnt.sum())
+        ring_idx = np.repeat(np.arange(n_rings, dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cx = x0[ring_idx] + within // wy[ring_idx]
+        cy = y0[ring_idx] + within % wy[ring_idx]
+        cells = xy_to_cell(cx.astype(np.uint64), cy.astype(np.uint64), index_level)
+        order = np.argsort(cells, kind="stable")
+        cells_s, rings_s = cells[order], ring_idx[order]
+        key_mask = np.ones(total, bool)
+        key_mask[1:] = cells_s[1:] != cells_s[:-1]
+        cell_keys = cells_s[key_mask]
+        cell_offs = np.concatenate(
+            [np.flatnonzero(key_mask), [total]]
+        ).astype(np.int64)
+    else:
+        cell_keys = np.empty(0, np.uint64)
+        cell_offs = np.zeros(1, np.int64)
+        rings_s = np.empty(0, np.int64)
+    rings_ref = ray.put(
+        (gids, blob_p, bbox, cell_keys, cell_offs, rings_s, index_level)
+    )
 
     def refine(batch: pa.Table) -> pa.Table:
         from ..util import cached_get
 
-        polys, idx, lvl = cached_get(rings_ref)
+        r_gids, r_blobs, r_bbox, keys, offs, vals, lvl = cached_get(rings_ref)
         pids = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
         lats = batch[lat_col].to_numpy(zero_copy_only=False)
         lons = batch[lon_col].to_numpy(zero_copy_only=False)
         out_p, out_g = [], []
-        cand_polys: set = set()
-        if len(lats):
-            for c in np.unique(encode_cell(lats, lons, lvl)):
-                hit = idx.get(int(c))
-                if hit is not None:
-                    cand_polys.update(hit.tolist())
-        for pi in sorted(cand_polys):
-            gid, blob, min_lon, min_lat, max_lon, max_lat = polys[pi]
+        if len(lats) and len(keys):
+            pcells = np.unique(encode_cell(lats, lons, lvl))
+            ki = np.searchsorted(keys, pcells)
+            ki = np.minimum(ki, len(keys) - 1)
+            hit_k = ki[keys[ki] == pcells]
+            if len(hit_k):
+                cand_list = [vals[offs[k] : offs[k + 1]] for k in hit_k]
+                cand_polys = np.unique(np.concatenate(cand_list))
+            else:
+                cand_polys = np.empty(0, np.int64)
+        else:
+            cand_polys = np.empty(0, np.int64)
+        for pi in cand_polys.tolist():
+            min_lon, min_lat, max_lon, max_lat = r_bbox[pi]
             cand = (
                 (lats >= min_lat) & (lats <= max_lat) & (lons >= min_lon) & (lons <= max_lon)
             )
             if not cand.any():
                 continue
-            ry, rx = unpack_ring(blob)
+            ry, rx = unpack_ring(r_blobs[pi])
             hit = points_in_ring(lats[cand], lons[cand], ry, rx)
             if hit.any():
                 out_p.append(pids[cand][hit])
-                out_g.append(np.full(int(hit.sum()), gid, dtype=np.int64))
+                out_g.append(np.full(int(hit.sum()), r_gids[pi], dtype=np.int64))
         if not out_p:
             return pa.table(
                 {"point_id": pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}

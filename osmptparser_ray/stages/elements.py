@@ -129,25 +129,35 @@ def _project_relations(batch: pa.Table, filters: str) -> pa.Table:
     batch = batch.filter(pa.array(mask))
     if batch.num_rows == 0:
         return _empty_relations_table()
-    refs = batch["member_refs"].to_pylist()
-    types = batch["member_types"].to_pylist()
-    way_ids, stop_ids = [], []
-    for mrefs, mtypes in zip(refs, types):
-        w, s = [], []
-        for ref, t in zip(mrefs, mtypes):
-            if t == 1:
-                w.append(ref)
-            elif t == 0:
-                s.append(ref)
-        way_ids.append(w)
-        stop_ids.append(s)
+    # role-blind member partition (F7), vectorized via Arrow offsets —
+    # round-3: the old per-relation Python loop over to_pylist members was
+    # 0.28 s/1M-element batch, ~50% of this stage's wall time
+    n = batch.num_rows
+    refs_col = batch["member_refs"].combine_chunks()
+    types_col = batch["member_types"].combine_chunks()
+    offs = np.asarray(refs_col.offsets, np.int64)
+    offs = offs - offs[0]
+    flat_refs = refs_col.flatten().to_numpy(zero_copy_only=False)
+    flat_types = types_col.flatten().to_numpy(zero_copy_only=False)
+    rel_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+
+    def _partition(kind_code: int) -> pa.ListArray:
+        m = flat_types == kind_code
+        counts = np.bincount(rel_of[m], minlength=n)
+        loffs = np.zeros(n + 1, np.int32)
+        np.cumsum(counts, out=loffs[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()),
+            pa.array(flat_refs[m], pa.int64()),
+        )
+
     out = pa.table(
         {
             "id": batch["id"],
             "tags": batch["tags"],
             "info": batch["info"],
-            "way_ids": pa.array(way_ids, pa.list_(pa.int64())),
-            "stop_ids": pa.array(stop_ids, pa.list_(pa.int64())),
+            "way_ids": _partition(1),
+            "stop_ids": _partition(0),
         }
     )
     # F8: drop relations without way members

@@ -207,11 +207,19 @@ def _project_ways(batch: pa.Table, way_ids_ref, filters: str) -> pa.Table:
 
 
 def _project_nodes(batch: pa.Table, node_ids_ref) -> pa.Table:
-    """kind=node rows ⋉ referenced-node-ids (broadcast semi-join J2)."""
+    """kind=node rows ⋉ referenced-node-ids (broadcast semi-join J2).
+
+    ``node_ids_ref``: a ray.put ref of a sorted int64 array, or a
+    ShardedIdSet (round-3 default — the set is built and merged entirely
+    in Ray tasks, never serialized through the driver)."""
     batch = batch.filter(pc.equal(batch["kind"], "node"))
-    node_ids = ray.get(node_ids_ref) if node_ids_ref is not None else np.empty(0, np.int64)
     ids = batch["id"].to_numpy(zero_copy_only=False)
-    keep = _isin_sorted(ids, node_ids)
+    if node_ids_ref is None:
+        keep = np.zeros(len(ids), dtype=bool)
+    elif isinstance(node_ids_ref, ShardedIdSet):
+        keep = _isin_idset(ids, node_ids_ref)
+    else:
+        keep = _isin_sorted(ids, ray.get(node_ids_ref))
     out = pa.table(
         {
             "id": batch["id"],
@@ -230,6 +238,110 @@ def _isin_sorted(values: np.ndarray, sorted_haystack: np.ndarray) -> np.ndarray:
     idx = np.searchsorted(sorted_haystack, values)
     idx[idx >= len(sorted_haystack)] = len(sorted_haystack) - 1
     return sorted_haystack[idx] == values
+
+
+# ---------------------------------------------------------------------------
+# sharded broadcast id-sets (round-3): the big semi-join side built and
+# merged entirely in Ray tasks — the driver-side concat + np.unique over
+# ~10^7 ids was a measured ~2 s SERIAL gap on the flagship critical path
+# (identical at every CPU count, so it taxed the scaling ratio exactly
+# where it hurts). Shape mirrors assemble.build_node_index_sharded.
+# ---------------------------------------------------------------------------
+
+_IDSET_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass
+class ShardedIdSet:
+    """P sorted int64 shards in the object store, hash-bucketed by value;
+    the driver holds only the refs."""
+
+    shard_refs: list
+    P: int
+
+
+def _idset_bucket(ids: np.ndarray, P: int) -> np.ndarray:
+    return (
+        (np.ascontiguousarray(ids, dtype=np.int64).view(np.uint64) * _IDSET_PRIME)
+        % np.uint64(P)
+    ).astype(np.int64)
+
+
+def _split_idset_block(block: pa.Table, columns: list, P: int):
+    """One materialized block → P sorted-unique id piece arrays."""
+    parts = []
+    for col in columns:
+        c = block[col].combine_chunks()
+        parts.append(c.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+    vals = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    b = _idset_bucket(vals, P)
+    # selecting from a sorted array by mask preserves order — no re-sort
+    return tuple(vals[b == p] for p in range(P))
+
+
+def _merge_idset_shard(*pieces):
+    arrs = [p for p in pieces if len(p)]
+    if not arrs:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(arrs))
+
+
+def build_sharded_id_set(
+    ds: rd.Dataset,
+    columns: list,
+    extra_ids: Optional[np.ndarray] = None,
+    num_shards: Optional[int] = None,
+) -> ShardedIdSet:
+    """Distinct values of list<int64> ``columns`` over a MATERIALIZED
+    dataset, as a ShardedIdSet. Split tasks read block refs directly (no
+    extra Dataset pass); per-bucket merge tasks produce the shards; the
+    driver never touches id data."""
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_shards = int(max(2, min(16, cpus)))
+    P = num_shards
+    split = ray.remote(_split_idset_block)
+    merge = ray.remote(_merge_idset_shard)
+    block_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    piece_refs = [
+        split.options(num_returns=P).remote(bref, columns, P) for bref in block_refs
+    ]
+    extra_pieces = []
+    if extra_ids is not None and len(extra_ids):
+        ex = np.unique(np.asarray(extra_ids, dtype=np.int64))
+        eb = _idset_bucket(ex, P)
+        extra_pieces = [ray.put(ex[eb == p]) for p in range(P)]
+    shard_refs = [
+        merge.remote(
+            *([piece_refs[i][p] for i in range(len(piece_refs))]
+              + ([extra_pieces[p]] if extra_pieces else []))
+        )
+        for p in range(P)
+    ]
+    return ShardedIdSet(shard_refs, P)
+
+
+def _isin_idset(values: np.ndarray, idset) -> np.ndarray:
+    """Membership of int64 values in a broadcast id-set: legacy sorted
+    array (one searchsorted) or ShardedIdSet (bucketed searchsorted —
+    same O(log n) per value, shards fetched once per worker process)."""
+    from ..util import cached_get
+
+    if not isinstance(idset, ShardedIdSet):
+        return _isin_sorted(values, idset)
+    out = np.zeros(len(values), dtype=bool)
+    if not len(values):
+        return out
+    b = _idset_bucket(values, idset.P)
+    for p in range(idset.P):
+        m = b == p
+        if m.any():
+            out[m] = _isin_sorted(values[m], cached_get(idset.shard_refs[p]))
+    return out
 
 
 def dedup_by_id(ds: rd.Dataset, num_partitions: int = 0) -> rd.Dataset:
@@ -392,12 +504,13 @@ def build_parser_tables(
         ways = dedup_by_id(ways)
     ways = ways.materialize()  # ids + refs of matched ways: small vs corpus
 
-    # broadcast side 2: referenced node ids = way refs ∪ stop ids
-    ref_arr = _flatten_unique_list_column(ways, "node_refs")
-    node_ids_ref = ray.put(np.unique(np.concatenate([ref_arr, stop_id_arr])))
+    # broadcast side 2: referenced node ids = way refs ∪ stop ids.
+    # Built as a ShardedIdSet entirely in Ray tasks (round-3): the driver
+    # concat+np.unique over ~10^7 ids was a ~2 s serial critical-path gap.
+    node_id_set = build_sharded_id_set(ways, ["node_refs"], extra_ids=stop_id_arr)
 
     nodes = elements.map_batches(
-        partial(_project_nodes, node_ids_ref=node_ids_ref), batch_format="pyarrow"
+        partial(_project_nodes, node_ids_ref=node_id_set), batch_format="pyarrow"
     )
     if dedup:
         nodes = dedup_by_id(nodes)

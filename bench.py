@@ -50,8 +50,13 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
             while f.read(1 << 24):
                 pass
 
+    # GRAFT_FLAGSHIP_SMALL_SIDE=shuffle runs the big-big shuffle plans
+    # (identical outputs, parity-tested) — the plan that scales better on
+    # the saturated single-box pairs where broadcast sides contend for one
+    # memory bus (BASELINE.md)
+    small_side = os.environ.get("GRAFT_FLAGSHIP_SMALL_SIDE", "broadcast")
     t0 = time.perf_counter()
-    out = stop_route_spatial_join(pages, validate=False)
+    out = stop_route_spatial_join(pages, validate=False, small_side=small_side)
     want_stats = "--stats" in sys.argv
     # the three join outputs are independent sinks — consume them
     # concurrently so their stages pipeline through the executor together

@@ -729,11 +729,18 @@ class _WayAreaFlattener:
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(batch["is_standalone"])
         ids = batch["id"].to_pylist()
-        refs_col = batch["node_refs"].to_pylist()
+        # bulk node resolution for the whole batch (one gather_mask, not
+        # one gather per way — same round-3 rewrite as _BroadcastAssembler)
+        refs_arr = batch["node_refs"].combine_chunks()
+        offs = np.asarray(refs_arr.offsets, np.int64)
+        offs = offs - offs[0]
+        flat = refs_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        ok, lats_f, lons_f = self.nodes.gather_mask(flat)
         geoms, codes, details = [], [], []
-        for refs in refs_col:
-            nids, lats, lons = self.nodes.gather(np.asarray(refs, dtype=np.int64))
-            seq = NodeSeq(nids, lats, lons)
+        for i in range(len(ids)):
+            s, e = offs[i], offs[i + 1]
+            o = ok[s:e]
+            seq = NodeSeq(flat[s:e][o], lats_f[s:e][o], lons_f[s:e][o])
             segments, status = flatten_single_way(seq, self.gap, True)
             geoms.append(_geometry_value(segments))
             codes.append(status.code)

@@ -61,6 +61,50 @@ class TestLshSalting:
         assert capped == base
 
 
+class TestHotDetectionPlans:
+    def test_detectors_flag_degenerate_bucket(self, ray_session):
+        """Both detection plans — key-exact groupby and slot sketch — must
+        flag the degenerate 60-doc bucket (the sketch may over-flag via
+        slot collisions, never under-flag)."""
+        import ray
+
+        from osmptparser_ray.text.dedup import _hot_keys_exact, _hot_slots_sketch
+
+        docs = _skewed_docs()
+        sigs = minhash_signatures(docs, num_perm=32, shingle_k=5).materialize()
+        import pyarrow as pa
+        import numpy as np
+
+        def explode(batch):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sig = np.stack([np.asarray(s, np.uint64) for s in batch["sig"].to_pylist()])
+            r = sig.shape[1] // 8
+            out_band, out_hash, out_id = [], [], []
+            for bi in range(8):
+                chunk = sig[:, bi * r : (bi + 1) * r]
+                h = np.zeros(len(ids), np.uint64)
+                for j in range(chunk.shape[1]):
+                    h = h * np.uint64(1099511628211) + chunk[:, j]
+                out_band.extend([bi] * len(ids))
+                out_hash.extend(h.tolist())
+                out_id.extend(ids.tolist())
+            return pa.table(
+                {
+                    "band": pa.array(out_band, pa.int32()),
+                    "band_hash": pa.array(np.asarray(out_hash, np.uint64), pa.uint64()),
+                    "doc_id": pa.array(out_id, pa.int64()),
+                }
+            )
+
+        rows = sigs.map_batches(explode, batch_format="pyarrow").materialize()
+        exact = _hot_keys_exact(rows, "band", "band_hash", cap=10)
+        sketch = _hot_slots_sketch(rows, "band", "band_hash", cap=10)
+        kind_e, hot_e = ray.get(exact)
+        kind_s, hot_s = ray.get(sketch)
+        assert kind_e == "keys" and len(hot_e) >= 8  # one hot key per band
+        assert kind_s == "slots" and len(hot_s) >= 1
+
+
 class TestSimhashSalting:
     def test_salted_equals_unsalted(self):
         docs = _skewed_docs()

@@ -13,7 +13,14 @@ REF_PBF = "/root/reference/tests/test.pbf"
 
 
 def _canon(ds):
-    df = ds.to_pandas()
+    # collect through ARROW, not Dataset.to_pandas: Ray's pandas conversion
+    # sometimes casts list columns to its TensorArray extension (block-order
+    # dependent with uuid-named shards) and crashes on ragged lists
+    import pyarrow as pa
+
+    tabs = list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tab = pa.concat_tables(tabs) if tabs else None
+    df = tab.to_pandas()
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, dict))).any():
             df[c] = df[c].map(lambda v: repr(v) if v is not None else None)

@@ -244,6 +244,45 @@ def _q_pbf_roundtrip(sf_dir: str):
     return _pt_observable(get_public_transports(tables, 1500.0))
 
 
+def _q_asof_join(sf_dir: str):
+    """AS-OF join (round-3 custom operator — Ray Data has none): every
+    click joins the latest same-user purchase at or before it. Distributed
+    sort + boundary-chained per-block scan; oracle = DuckDB native
+    ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from osmptparser_ray.streams import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(left, right)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # unmatched-left sentinels: the driver's value-hash comparator
+        # cannot equate NaN with NaN across engines
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "event_id_r": pc.fill_null(batch["event_id_r"], -1),
+                "value_r": pc.fill_null(batch["value_r"], -1.0),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def _q_window_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1 h windows every 15 min —
+    map-side vectorized replication + pure groupby-aggregate."""
+    from osmptparser_ray.streams import hopping_window
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    return hopping_window(ev, window_seconds=3600, hop_seconds=900)
+
+
 def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
@@ -1019,6 +1058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ptv2_from_pbf": _q_ptv2_from_pbf,
         "ptv2_bloom_ingest": _q_ptv2_bloom,
         "pbf_roundtrip": _q_pbf_roundtrip,
+        "asof_join": _q_asof_join,
+        "window_hopping": _q_window_hopping,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -1123,6 +1164,24 @@ def oracle_sql() -> dict[str, str]:
             "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
             "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
             ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
+        ),
+        "asof_join": (
+            "WITH rr AS (SELECT user_id, ts, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
+            "FROM events WHERE event_type='purchase'), "
+            "rd AS (SELECT user_id, ts, event_id, value FROM rr WHERE rn=1), "
+            "l AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click') "
+            "SELECT l.user_id AS user_id, l.ts AS ts, l.event_id AS event_id, "
+            "COALESCE(r.event_id, -1) AS event_id_r, COALESCE(r.value, -1.0) AS value_r "
+            "FROM l ASOF LEFT JOIN rd r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "window_hopping": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), "
+            "x AS (SELECT user_id, us, value, "
+            "generate_series((us - 3600000000)//900000000 + 1, us//900000000) AS ws FROM e), "
+            "u AS (SELECT user_id, UNNEST(ws) AS window_id, value FROM x) "
+            "SELECT user_id, window_id, count(*) AS n_events, sum(value) AS sum_value "
+            "FROM u GROUP BY 1,2"
         ),
         "groupby_agg": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

@@ -237,6 +237,254 @@ def _sessionize_scan(
     return merged
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    left_cols: tuple = ("event_id",),
+    right_cols: tuple = ("event_id", "value"),
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """AS-OF join: each left row picks the LATEST right row of the same key
+    with ``right.ts <= left.ts`` (ties on ts broken by the larger
+    ``order_col`` — DuckDB `ASOF LEFT JOIN` semantics after a (key, ts)
+    right-side dedup). Left-outer: unmatched left rows keep nulls.
+
+    Ray Data has no as-of join; this is the custom operator realized with
+    the SAME distributed-prefix-scan shape as ``sessionize(plan="scan")``:
+
+    1. both sides tagged and globally sorted by (key, ts, side, order) —
+       side 0 = right BEFORE side 1 = left at equal ts, so "<=" is
+       inclusive by construction,
+    2. one vectorized pass per block: running last-right-row forward fill
+       (``np.maximum.accumulate`` over right positions, key-guarded) +
+       a tiny boundary summary (first-row identity, last key, last right
+       row of the last key),
+    3. an O(#blocks) driver chain hands each block the right row carried
+       into it (for left rows of its first key that precede any in-block
+       right row),
+    4. a second pass over the SAME materialized blocks emits the joined
+       left rows. No shuffle beyond the one sort; a hot key's history
+       spans blocks freely.
+
+    Partitioning assumption: the global sort co-locates each key's
+    timeline into contiguous ranges; the boundary chain is exact for keys
+    that straddle blocks (tested with all-one-key inputs).
+    """
+    import ray
+    from .util import cached_get
+
+    lslim = left.select_columns(list({key_col, ts_col, order_col, *left_cols}))
+    rslim = right.select_columns(list({key_col, ts_col, order_col, *right_cols}))
+    # pin the union schema from BOTH sides' metadata so null columns get
+    # the owning side's true types (schema() is lazy plan metadata)
+    l_types = {f.name: f.type for f in lslim.schema().base_schema}
+    r_types = {f.name: f.type for f in rslim.schema().base_schema}
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {
+                key_col: batch[key_col].cast(pa.int64()),
+                "__us": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "__ord": batch[order_col].cast(pa.int64()),
+                "__side": pa.array(
+                    np.full(batch.num_rows, side, np.int8), pa.int8()
+                ),
+            }
+            for c in left_cols:
+                cols[f"__l_{c}"] = (
+                    batch[c] if side == 1 else pa.nulls(batch.num_rows, l_types[c])
+                )
+            for c in right_cols:
+                cols[f"__r_{c}"] = (
+                    batch[c] if side == 0 else pa.nulls(batch.num_rows, r_types[c])
+                )
+            return pa.table(cols)
+
+        return f
+
+    l_tagged = lslim.map_batches(tag(1), batch_format="pyarrow")
+    r_tagged = rslim.map_batches(tag(0), batch_format="pyarrow")
+    unioned = l_tagged.union(r_tagged)
+    sorted_ds = unioned.sort([key_col, "__us", "__side", "__ord"]).materialize()
+
+    def _cols(batch: pa.Table):
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["__us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = batch["__side"].to_numpy(zero_copy_only=False).astype(np.int8)
+        od = batch["__ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return k, us, side, od
+
+    # ---- pass 1: per-block boundary summaries ----------------------------
+    def summarize(batch: pa.Table) -> pa.Table:
+        k, us, side, od = _cols(batch)
+        if not len(k):
+            return pa.table(
+                {
+                    "ident": pa.array([], pa.string()),
+                    "first_key": pa.array([], pa.int64()),
+                    "last_key": pa.array([], pa.int64()),
+                    "last_right": pa.array([], pa.binary()),
+                }
+            )
+        ident = f"{k[0]}|{us[0]}|{side[0]}|{od[0]}"
+        last_key = int(k[-1])
+        rmask = (side == 0) & (k == last_key)
+        if rmask.any():
+            j = int(np.flatnonzero(rmask)[-1])
+            import pickle
+
+            vals = {c: batch[f"__r_{c}"][j].as_py() for c in right_cols}
+            blob = pickle.dumps(vals)
+        else:
+            blob = b""
+        return pa.table(
+            {
+                "ident": pa.array([ident], pa.string()),
+                "first_key": pa.array([int(k[0])], pa.int64()),
+                "last_key": pa.array([last_key], pa.int64()),
+                "last_right": pa.array([blob], pa.binary()),
+            }
+        )
+
+    summaries = []
+    for b in sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).iter_batches(batch_size=1 << 10, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            summaries.append({c: b[c][i].as_py() for c in b.column_names})
+
+    def _ident_key(ident: str):
+        a, b_, c, d = ident.split("|")
+        return (int(a), int(b_), int(c), int(d))
+
+    summaries.sort(key=lambda s: _ident_key(s["ident"]))
+    import pickle
+
+    corrections: dict[str, bytes] = {}
+    carry_key, carry_blob = None, b""
+    for s in summaries:
+        corrections[s["ident"]] = (
+            carry_blob if carry_key == s["first_key"] else b""
+        )
+        if s["last_right"]:
+            carry_key, carry_blob = s["last_key"], s["last_right"]
+        elif carry_key != s["last_key"]:
+            carry_key, carry_blob = s["last_key"], b""
+        # else: same key continues with no new right rows — carry persists
+    corr_ref = ray.put(corrections)
+
+    out_fields = [(c, f"__l_{c}") for c in left_cols]
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k, us, side, od = _cols(batch)
+        cols: dict = {key_col: [], ts_col: []}
+        if not len(k):
+            empty = {key_col: pa.array([], pa.int64()), ts_col: pa.array([], pa.timestamp("us"))}
+            for c, src in out_fields:
+                empty[c] = pa.array([], batch.schema.field(src).type)
+            for c in right_cols:
+                empty[f"{c}{right_suffix}"] = pa.array(
+                    [], batch.schema.field(f"__r_{c}").type
+                )
+            return pa.table(empty)
+        ident = f"{k[0]}|{us[0]}|{side[0]}|{od[0]}"
+        carry = cached_get(corr_ref).get(ident, b"")
+        carry_vals = pickle.loads(carry) if carry else None
+        n = len(k)
+        pos = np.arange(n, dtype=np.int64)
+        right_pos = np.where(side == 0, pos, -1)
+        last_right = np.maximum.accumulate(right_pos)
+        is_left = side == 1
+        lr = last_right[is_left]
+        lk = k[is_left]
+        # a matched fill must come from the SAME key
+        valid = (lr >= 0) & (k[np.maximum(lr, 0)] == lk)
+        # left rows of the block's first key with no in-block right row
+        # use the carried right row (exact: keys are contiguous)
+        use_carry = (~valid) & (lk == k[0]) & (carry_vals is not None)
+        left_t = batch.filter(pa.array(is_left))
+        out = {
+            key_col: left_t[key_col],
+            ts_col: left_t["__us"].cast(pa.timestamp("us")),
+        }
+        for c, src in out_fields:
+            out[c] = left_t[src]
+        take_idx = np.where(valid, np.maximum(lr, 0), 0)
+        valid_pa = pa.array(valid)
+        use_carry_pa = pa.array(use_carry) if use_carry.any() else None
+        import pyarrow.compute as pc
+
+        for c in right_cols:
+            typ = batch.schema.field(f"__r_{c}").type
+            rv = batch[f"__r_{c}"].combine_chunks().take(
+                pa.array(take_idx, pa.int64())
+            )
+            filled = pc.if_else(valid_pa, rv, pa.scalar(None, typ))
+            if use_carry_pa is not None:
+                filled = pc.if_else(
+                    use_carry_pa, pa.scalar(carry_vals[c], typ), filled
+                )
+            out[f"{c}{right_suffix}"] = filled
+        return pa.table(out)
+
+    return sorted_ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
+
+
+def hopping_window(
+    events: rd.Dataset,
+    window_seconds: float,
+    hop_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Hopping (sliding) windows: window w covers [w·hop, w·hop + length);
+    an event at t belongs to every w in (⌈(t−length)/hop⌉, ⌊t/hop⌋] —
+    replicated map-side (vectorized repeat/cumsum, replication factor
+    length/hop) then a pure groupby-AGGREGATE. Generalizes
+    ``tumbling_window`` (hop == length).
+
+    Output: (key, window_id, n_events, sum_value)."""
+    from ray.data.aggregate import Count, Sum
+
+    w_us = int(window_seconds * 1_000_000)
+    h_us = int(hop_seconds * 1_000_000)
+    if w_us % h_us != 0:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        micros = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w_hi = micros // h_us  # last window containing t
+        w_lo = (micros - w_us) // h_us + 1  # first window containing t
+        cnt = w_hi - w_lo + 1
+        total = int(cnt.sum())
+        row = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        wid = w_lo[row] + within
+        return pa.table(
+            {
+                key_col: pa.array(keys[row], pa.int64()),
+                "window_id": pa.array(wid, pa.int64()),
+                value_col: pa.array(vals[row], pa.float64()),
+            }
+        )
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_col, "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value"))
+    )
+
+
 def tumbling_window(
     events: rd.Dataset,
     window_seconds: float,

@@ -283,6 +283,19 @@ def _q_window_hopping(sf_dir: str):
     return hopping_window(ev, window_seconds=3600, hop_seconds=900)
 
 
+_INTERVAL_BANDS = [(i, i * 1.5, i * 1.5 + 4.0) for i in range(15)]
+
+
+def _q_interval_join(sf_dir: str):
+    """Range join (round-3 custom operator): events.value into 15
+    OVERLAPPING bands — 1-D cell-banded broadcast plan (the PIP index
+    analogue). Oracle: plain theta-join over a VALUES CTE."""
+    from osmptparser_ray.stages.relational import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    return interval_join(ev, _INTERVAL_BANDS)
+
+
 def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
@@ -1060,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pbf_roundtrip": _q_pbf_roundtrip,
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
+        "interval_join": _q_interval_join,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -1164,6 +1178,11 @@ def oracle_sql() -> dict[str, str]:
             "(85965, 'Trolebus Quitumbe => La Y', '226', '1552883955', 31, 501, 0), "
             "(2030162, 'B6 Mapasingue Oeste Ida', '13', '1555013271', 1, 0, 90)"
             ") AS t(id, name, version, ts, n_stops, status_code, n_geom_points)"
+        ),
+        "interval_join": (
+            "WITH bands(interval_id, lo, hi) AS (VALUES (0, 0.0, 4.0), (1, 1.5, 5.5), (2, 3.0, 7.0), (3, 4.5, 8.5), (4, 6.0, 10.0), (5, 7.5, 11.5), (6, 9.0, 13.0), (7, 10.5, 14.5), (8, 12.0, 16.0), (9, 13.5, 17.5), (10, 15.0, 19.0), (11, 16.5, 20.5), (12, 18.0, 22.0), (13, 19.5, 23.5), (14, 21.0, 25.0)) "
+            "SELECT e.event_id AS event_id, CAST(b.interval_id AS BIGINT) AS interval_id "
+            "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
         "asof_join": (
             "WITH rr AS (SELECT user_id, ts, event_id, value, "

@@ -145,3 +145,96 @@ def stratified_sample(
         return batch[h < thresh]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def interval_join(
+    points: "rd.Dataset",
+    intervals: "list[tuple[int, float, float]]",
+    value_col: str = "value",
+    point_id: str = "event_id",
+) -> "rd.Dataset":
+    """Range (interval) join: (point_id, interval_id) for every interval
+    with ``lo <= value < hi`` — overlapping intervals supported, one output
+    row per match (round-3 custom operator; Ray Data has no range join).
+
+    Physical plan: the 1-D analogue of the PIP broadcast cell index —
+    intervals are replicated onto the value cells they span (cell width ≈
+    median interval width, so a typical interval covers O(1) cells) and
+    stored as a sorted CSR (cell keys / offsets / interval ids) broadcast
+    via ``ray.put``; each point batch resolves candidates with one
+    searchsorted and applies the exact lo/hi filter vectorized per
+    candidate interval. For a big-big variant, band BOTH sides by cell and
+    hash-join on the cell key (the pip_join pattern).
+
+    ``intervals``: [(interval_id, lo, hi)] — the small side (broadcast
+    contract like ``broadcast_join``).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..util import cached_get
+
+    iid = np.asarray([i[0] for i in intervals], dtype=np.int64)
+    lo = np.asarray([i[1] for i in intervals], dtype=np.float64)
+    hi = np.asarray([i[2] for i in intervals], dtype=np.float64)
+    valid = hi > lo
+    iid, lo, hi = iid[valid], lo[valid], hi[valid]
+    if len(iid):
+        width = float(np.median(hi - lo))
+        cell_w = max(width, 1e-12)
+        c0 = np.floor(lo / cell_w).astype(np.int64)
+        c1 = np.floor(np.nextafter(hi, -np.inf) / cell_w).astype(np.int64)
+        cnt = c1 - c0 + 1
+        total = int(cnt.sum())
+        k = np.repeat(np.arange(len(iid), dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cells = c0[k] + within
+        order = np.argsort(cells, kind="stable")
+        cells_s, ks = cells[order], k[order]
+        mask = np.ones(total, bool)
+        mask[1:] = cells_s[1:] != cells_s[:-1]
+        keys = cells_s[mask]
+        offs = np.concatenate([np.flatnonzero(mask), [total]]).astype(np.int64)
+    else:
+        cell_w = 1.0
+        keys = np.empty(0, np.int64)
+        offs = np.zeros(1, np.int64)
+        ks = np.empty(0, np.int64)
+    ref = ray.put((iid, lo, hi, keys, offs, ks, cell_w))
+
+    def match(batch: pa.Table) -> pa.Table:
+        r_iid, r_lo, r_hi, r_keys, r_offs, r_ks, w = cached_get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pids = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_p, out_i = [], []
+        if len(v) and len(r_keys):
+            pc_cells = np.floor(v / w).astype(np.int64)
+            uniq = np.unique(pc_cells)
+            ki = np.minimum(np.searchsorted(r_keys, uniq), len(r_keys) - 1)
+            hit_cells = uniq[r_keys[ki] == uniq]
+            for c in hit_cells.tolist():
+                j = int(np.searchsorted(r_keys, c))
+                cand = r_ks[r_offs[j] : r_offs[j + 1]]
+                pm = pc_cells == c
+                vv, pp = v[pm], pids[pm]
+                for q in cand.tolist():
+                    m = (vv >= r_lo[q]) & (vv < r_hi[q])
+                    if m.any():
+                        out_p.append(pp[m])
+                        out_i.append(np.full(int(m.sum()), r_iid[q], np.int64))
+        if not out_p:
+            return pa.table(
+                {
+                    point_id: pa.array([], pa.int64()),
+                    "interval_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                point_id: pa.array(np.concatenate(out_p), pa.int64()),
+                "interval_id": pa.array(np.concatenate(out_i), pa.int64()),
+            }
+        )
+
+    return points.map_batches(match, batch_format="pyarrow")

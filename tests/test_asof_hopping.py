@@ -138,3 +138,46 @@ class TestHoppingWindow:
         )
         with pytest.raises(ValueError):
             hopping_window(rd.from_arrow(t), 50, 15)
+
+
+class TestIntervalJoin:
+    def test_overlapping_bands_brute_force(self, ray_session):
+        from osmptparser_ray.stages.relational import interval_join
+
+        rng = np.random.default_rng(4)
+        vals = rng.random(2000) * 30 - 5  # include out-of-range values
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(2000), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        bands = [(i, i * 1.5, i * 1.5 + 4.0) for i in range(15)]
+        got = sorted(
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(rd.from_arrow(t), bands).take_all()
+        )
+        want = sorted(
+            (int(e), b)
+            for e, v in enumerate(vals)
+            for b, lo, hi in bands
+            if lo <= v < hi
+        )
+        assert got == want
+
+    def test_degenerate_and_empty_intervals(self, ray_session):
+        from osmptparser_ray.stages.relational import interval_join
+
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "value": pa.array([1.0, 5.0], pa.float64()),
+            }
+        )
+        # hi <= lo intervals dropped; exact-boundary semantics lo<=v<hi
+        bands = [(0, 1.0, 1.0), (1, 0.5, 1.0), (2, 1.0, 1.5), (3, 5.0, 5.0001)]
+        got = sorted(
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(rd.from_arrow(t), bands).take_all()
+        )
+        assert got == [(0, 2), (1, 3)]

@@ -84,7 +84,14 @@ class NodeSeq(NamedTuple):
         return len(self.ids)
 
     def same_ids(self, other: "NodeSeq") -> bool:
-        """Vec<Node> equality in the reference = elementwise id equality."""
+        """Vec<Node> equality in the reference = elementwise id equality.
+
+        Identity fast path: first_pass asks `ordered[-1].same_ids(
+        ways[i-1])` every step, and after a plain append the two ARE the
+        same object — the value compare only runs for concat/reverse
+        results (whose lengths usually differ, short-circuiting)."""
+        if self is other:
+            return True
         return len(self.ids) == len(other.ids) and bool(np.array_equal(self.ids, other.ids))
 
 
@@ -165,9 +172,27 @@ def sort_ways(ways: Sequence[NodeSeq]) -> list[NodeSeq]:
     """Greedy nearest-endpoint reorder — reference relation.rs:158-177.
 
     Effectively identity because ``edge_distance`` is constant -1.0 and the
-    comparison is strict ``<`` (see module docstring). Kept literal.
+    comparison is strict ``<`` (see module docstring).
+
+    Fast path (round-3): the O(W²) edge_distance sweep was measured as
+    ~20% of assembly CPU while provably selecting index 0 every time —
+    the -1.0 fold deviates ONLY when an endpoint coordinate is NaN (the
+    `acc < b` compare then propagates differently), so the literal loop
+    is kept behind a vectorized endpoint-NaN guard and the identity is
+    returned otherwise. Behavior-identical by case analysis AND by the
+    byte-exact fixture goldens.
     """
     ws = list(ways)
+    finite = True
+    for w in ws:
+        if not (
+            math.isfinite(w.lats[0]) and math.isfinite(w.lons[0])
+            and math.isfinite(w.lats[-1]) and math.isfinite(w.lons[-1])
+        ):
+            finite = False
+            break
+    if finite:
+        return ws  # every edge_distance is exactly -1.0 ⇒ always pop(0)
     out = [ws.pop(0)]
     while ws:
         mindist = math.inf

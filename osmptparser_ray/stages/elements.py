@@ -492,8 +492,9 @@ def build_parser_tables(
     relations = relations.repartition(max(4, 2 * cpus)).materialize()
 
     # broadcast side 1: member way ids (+ stop ids for the node pass)
-    way_id_arr = _flatten_unique_list_column(relations, "way_ids")
-    stop_id_arr = _flatten_unique_list_column(relations, "stop_ids")
+    way_id_arr, stop_id_arr = _flatten_unique_list_columns(
+        relations, ["way_ids", "stop_ids"]
+    )
     way_ids_ref = ray.put(way_id_arr)
 
     ways = elements.map_batches(
@@ -828,6 +829,34 @@ def _flatten_unique_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(parts))
+
+
+def _flatten_unique_list_columns(ds: rd.Dataset, columns: list) -> list:
+    """``_flatten_unique_list_column`` for SEVERAL columns in ONE dataset
+    execution (each execution pays ~0.1-0.3 s of streaming-executor
+    startup at any CPU count — pure serial floor; round-3 fuses the
+    way_ids/stop_ids passes)."""
+
+    def blob(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col in columns:
+            c = batch[col].combine_chunks()
+            a = np.unique(c.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
+            out[col] = pa.array([a.tobytes()], pa.binary())
+        return pa.table(out)
+
+    parts: dict = {c: [] for c in columns}
+    for b in ds.select_columns(columns).map_batches(
+        blob, batch_format="pyarrow", batch_size=1 << 18
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for col in columns:
+            for raw in b[col].to_pylist():
+                if raw:
+                    parts[col].append(np.frombuffer(raw, np.int64))
+    return [
+        np.unique(np.concatenate(parts[c])) if parts[c] else np.empty(0, np.int64)
+        for c in columns
+    ]
 
 
 def ingest_elements(

@@ -296,6 +296,16 @@ def _q_interval_join(sf_dir: str):
     return interval_join(ev, _INTERVAL_BANDS)
 
 
+def _q_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles (round-3): one sort + metadata-indexed
+    rank picks; the exact baseline any approximate sketch verifies
+    against. quantile_disc semantics."""
+    from osmptparser_ray.stages.relational import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    return exact_quantiles(li, "l_quantity", [0.1, 0.25, 0.5, 0.9, 0.99])
+
+
 def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
@@ -1074,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
         "interval_join": _q_interval_join,
+        "exact_quantiles": _q_exact_quantiles,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -1183,6 +1194,14 @@ def oracle_sql() -> dict[str, str]:
             "WITH bands(interval_id, lo, hi) AS (VALUES (0, 0.0, 4.0), (1, 1.5, 5.5), (2, 3.0, 7.0), (3, 4.5, 8.5), (4, 6.0, 10.0), (5, 7.5, 11.5), (6, 9.0, 13.0), (7, 10.5, 14.5), (8, 12.0, 16.0), (9, 13.5, 17.5), (10, 15.0, 19.0), (11, 16.5, 20.5), (12, 18.0, 22.0), (13, 19.5, 23.5), (14, 21.0, 25.0)) "
             "SELECT e.event_id AS event_id, CAST(b.interval_id AS BIGINT) AS interval_id "
             "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+        ),
+        "exact_quantiles": (
+            "SELECT q, value FROM ("
+            "SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem "
+            "UNION ALL SELECT 0.25, quantile_disc(l_quantity, 0.25) FROM lineitem "
+            "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
+            "UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem "
+            "UNION ALL SELECT 0.99, quantile_disc(l_quantity, 0.99) FROM lineitem)"
         ),
         "asof_join": (
             "WITH rr AS (SELECT user_id, ts, event_id, value, "

@@ -238,3 +238,63 @@ def interval_join(
         )
 
     return points.map_batches(match, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds: "rd.Dataset",
+    col: str,
+    qs: "list[float]",
+) -> "pa.Table":
+    """EXACT distributed quantiles (quantile_disc semantics: the value at
+    0-based rank ceil(q·n)−1 of the sorted column) — (q, value) rows.
+
+    Scalable shape: ONE distributed sort of the (single-column) dataset,
+    then the driver maps each target rank onto a block via the blocks'
+    row-count METADATA and fetches only the few blocks that hold a target
+    rank — never the column itself. Exactness costs the sort (at 10^12
+    rows prefer an approximate sketch; this operator is the exact
+    baseline the sketches are verified against).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())}
+        )
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+
+    # block row-counts from metadata; fetch only rank-holding blocks
+    bundles = list(sorted_ds.iter_internal_ref_bundles())
+    block_refs, counts = [], []
+    for b in bundles:
+        for ref, meta in zip(b.block_refs, b.metadata):
+            block_refs.append(ref)
+            counts.append(meta.num_rows)
+    offs = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+
+    @ray.remote
+    def pick(block, local_ranks):
+        c = block[col] if hasattr(block, "column_names") else block
+        return [c[int(i)].as_py() for i in local_ranks]
+
+    per_block: dict[int, list[tuple[int, int]]] = {}
+    for qi, r in enumerate(ranks):
+        bi = int(np.searchsorted(offs, r, side="right") - 1)
+        per_block.setdefault(bi, []).append((qi, r - int(offs[bi])))
+    out_vals: list = [None] * len(qs)
+    fetches = {
+        bi: pick.remote(block_refs[bi], [lr for _, lr in items])
+        for bi, items in per_block.items()
+    }
+    for bi, items in per_block.items():
+        vals = ray.get(fetches[bi])
+        for (qi, _), v in zip(items, vals):
+            out_vals[qi] = v
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(out_vals, pa.float64())}
+    )

@@ -181,3 +181,27 @@ class TestIntervalJoin:
             for r in interval_join(rd.from_arrow(t), bands).take_all()
         )
         assert got == [(0, 2), (1, 3)]
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_on_random_data(self, ray_session):
+        from osmptparser_ray.stages.relational import exact_quantiles
+
+        rng = np.random.default_rng(11)
+        vals = rng.random(5000) * 100
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals, pa.float64())})
+        ).repartition(16)
+        qs = [0.0, 0.01, 0.5, 0.75, 1.0]
+        out = exact_quantiles(ds, "v", qs).to_pydict()
+        srt = np.sort(vals)
+        for q, got in zip(out["q"], out["value"]):
+            rank = min(max(int(np.ceil(q * len(srt))) - 1, 0), len(srt) - 1)
+            assert got == srt[rank], q
+
+    def test_empty(self, ray_session):
+        from osmptparser_ray.stages.relational import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        out = exact_quantiles(ds, "v", [0.5]).to_pydict()
+        assert out["value"] == [None]

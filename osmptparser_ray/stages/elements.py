@@ -792,50 +792,13 @@ def _build_parser_tables_bloom(
     return ParserTables(relations=relations, ways=ways, nodes=nodes.materialize())
 
 
-def _flatten_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
-    """Flatten a list<int64> column to a single driver-side int64 array (ids only)."""
-    parts: list[np.ndarray] = []
-    for b in ds.select_columns([column]).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
-        col = b[column].combine_chunks()
-        parts.append(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(parts)
-
-
-def _flatten_unique_list_column(ds: rd.Dataset, column: str) -> np.ndarray:
-    """SORTED-UNIQUE flat values of a list<int64> column.
-
-    The flatten + per-block dedup runs DISTRIBUTED (map tasks emit one
-    packed binary blob of each block's sorted-unique values); the driver
-    only concatenates the already-deduped parts and takes the final
-    unique — the per-block flatten/astype work and the within-block
-    duplicate volume never hit the driver thread. This is the
-    broadcast-side id-set builder (semi-joins J1/J2), part of the serial
-    floor at high CPU counts."""
-
-    def blob(batch: pa.Table) -> pa.Table:
-        col = batch[column].combine_chunks()
-        a = np.unique(col.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
-        return pa.table({"blob": pa.array([a.tobytes()], pa.binary())})
-
-    parts: list[np.ndarray] = []
-    for b in ds.select_columns([column]).map_batches(
-        blob, batch_format="pyarrow", batch_size=1 << 18
-    ).iter_batches(batch_size=64, batch_format="pyarrow"):
-        for raw in b["blob"].to_pylist():
-            if raw:
-                parts.append(np.frombuffer(raw, np.int64))
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts))
-
-
 def _flatten_unique_list_columns(ds: rd.Dataset, columns: list) -> list:
-    """``_flatten_unique_list_column`` for SEVERAL columns in ONE dataset
-    execution (each execution pays ~0.1-0.3 s of streaming-executor
-    startup at any CPU count — pure serial floor; round-3 fuses the
-    way_ids/stop_ids passes)."""
+    """SORTED-UNIQUE flat values of SEVERAL list<int64> columns in ONE
+    dataset execution (each execution pays ~0.1-0.3 s of streaming-
+    executor startup at any CPU count — pure serial floor; round-3 fused
+    the way_ids/stop_ids passes). The flatten + per-block dedup runs
+    DISTRIBUTED (map tasks emit packed blobs of each block's sorted-
+    unique values); the driver only concatenates deduped parts."""
 
     def blob(batch: pa.Table) -> pa.Table:
         out = {}

@@ -160,12 +160,15 @@ def encode_primitive_block(batch: pa.Table) -> bytes:
         lat_raw = _coord_raw(nt["lat"].to_numpy(zero_copy_only=False))
         lon_raw = _coord_raw(nt["lon"].to_numpy(zero_copy_only=False))
         tags_col = nt["tags"].combine_chunks()
+        # .keys/.items on a (possibly sliced) MapArray return the FULL
+        # un-sliced child arrays, addressed by the RAW offsets — do NOT
+        # rebase offs to 0, or a non-zero-offset column emits the wrong
+        # key/value strings (ADVICE r3 #4).
         offs = np.asarray(tags_col.offsets, np.int64)
-        offs = offs - offs[0]
         keys = tags_col.keys.to_pylist()
         vals = tags_col.items.to_pylist()
         kv: list[int] = []
-        any_tags = len(keys) > 0
+        any_tags = bool(len(offs) > 1 and offs[-1] > offs[0])
         for i in range(len(ids)):
             if any_tags:
                 for j in range(offs[i], offs[i + 1]):

@@ -215,9 +215,50 @@ def parse_payload_batch(
 
     elem_of_piece = np.cumsum(is_elem) - 1  # -1 before the first element
     child = is_tag | is_nd | is_member
+
+    # -- closer tracking (ADVICE r3 #3) ------------------------------------
+    # `elem_of_piece` attributes every child to the most recent element
+    # OPENER; without closer accounting, a sibling <tag>/<nd>/<member>
+    # following a self-closed or already-closed element would be silently
+    # attributed to it (vec would differ from ET on well-formed input).
+    # One extra captureless DFA scan + cheap cumsums keep the contract:
+    # any piece sequence where the attributed opener is closed (or
+    # self-closed) before its child leaves the fast path.
+    self_closed = pc.match_substring_regex(pieces, r"/>\s*$").to_numpy(
+        zero_copy_only=False
+    )
+    elem_open = is_elem & ~self_closed
+    elem_close = is_closer & (name_code >= 0) & (name_code <= 2)
+    open_cum = np.cumsum(elem_open)
+    close_cum = np.cumsum(elem_close)
+    # flat dialect: a new element may only open once every prior one closed
+    open_before = (open_cum - elem_open) - (close_cum - elem_close)
+    if (open_before[is_elem] != 0).any():
+        raise VecContractError("element opened while another is still open")
+    opener_pos = np.flatnonzero(is_elem)
+    closer_pos = np.flatnonzero(elem_close)
+    if len(closer_pos):
+        if open_before[closer_pos].min() < 1 or elem_of_piece[closer_pos].min() < 0:
+            raise VecContractError("element closer without open element")
+        if (name_code[closer_pos] != name_code[opener_pos[elem_of_piece[closer_pos]]]).any():
+            raise VecContractError("mismatched element closer")
+    # every element opened in a payload must close in that payload
+    if not np.array_equal(
+        np.bincount(page_of_piece[elem_open], minlength=len(payloads)),
+        np.bincount(page_of_piece[elem_close], minlength=len(payloads)),
+    ):
+        raise VecContractError("element left open at payload end")
+
     if child.any():
         if elem_of_piece[child].min() < 0:
             raise VecContractError("child tag before first element")
+        child_pos = np.flatnonzero(child)
+        child_opener = opener_pos[elem_of_piece[child]]
+        if self_closed[child_opener].any():
+            raise VecContractError("child tag after self-closed element")
+        # close_cum is inclusive, but child/opener pieces are never closers
+        if (close_cum[child_pos] != close_cum[child_opener]).any():
+            raise VecContractError("child tag after its element was closed")
         # a child must belong to an element of the SAME page (an element
         # left open across a payload boundary is malformed)
         elem_pages = page_of_piece[is_elem]

@@ -972,14 +972,18 @@ def cell_density_smoothed(
         keys_s, ns_s = cached_get(dens_ref)
         xs = batch["cell_x"].to_numpy(zero_copy_only=False).astype(np.int64)
         ys = batch["cell_y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # neighbor cells off the grid edge (x or y = -1 or 2^level) produce
-        # keys outside the valid [0, 2^(2·level)) range — never colliding
-        # with a real cell, so the membership test drops them correctly
+        # Off-grid neighbor cells MUST be masked before the keyed lookup:
+        # with key = x·2^level + y, y=-1 aliases to (x-1, 2^level-1) and
+        # y=2^level aliases to (x+1, 0), so an unmasked lookup attaches the
+        # aliased real cell's n to a spurious off-grid row.
+        in_grid = (xs >= 0) & (xs < shift) & (ys >= 0) & (ys < shift)
         key = xs * shift + ys
         idx = np.searchsorted(keys_s, key)
         idx_c = np.minimum(idx, max(len(keys_s) - 1, 0))
         hit = (
-            (keys_s[idx_c] == key) if len(keys_s) else np.zeros(len(key), bool)
+            ((keys_s[idx_c] == key) & in_grid)
+            if len(keys_s)
+            else np.zeros(len(key), bool)
         )
         mask = pa.array(hit)
         return pa.table(

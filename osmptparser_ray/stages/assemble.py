@@ -1096,7 +1096,11 @@ def _assemble_shuffle(
                             fi += 1
                     stops_col.append(stops)
                     pos += int(c)
-                cols["stops"] = stops_col
+                # Typed conversion is load-bearing: raw python lists make
+                # pyarrow infer list<struct<..., tags: list<list<string>>>>
+                # (and list<null> for an all-empty batch), diverging from
+                # PT_SCHEMA and risking cross-block unification failures.
+                cols["stops"] = pa.array(stops_col, pa.list_(STOP_T))
             cols["geometry"] = geom
             cols["status_code"] = batch["status_code"]
             cols["status_detail"] = batch["status_detail"]

@@ -111,64 +111,61 @@ def _sessionize_scan(
         run = np.cumsum(is_new) - 1  # 0-based local run index
         return is_new, run
 
+    # Blocks of the materialized sort, in dataset order. Both passes run
+    # one task per BLOCK REF and the boundary chain is keyed by BLOCK
+    # ORDINAL — first-row contents are NOT a unique block identity
+    # (duplicate events straddling a block boundary give two blocks the
+    # same first row, and a content-keyed dict silently hands one block
+    # the other's correction; ADVICE r3 #5).
+    block_refs = [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, md in bundle.blocks
+        # skip empty blocks at the METADATA level — a sort can emit empty
+        # blocks with a columnless schema that would break column access
+        if md.num_rows is None or md.num_rows > 0
+    ]
+
     # ---- pass 1: per-block boundary summaries (tiny) ----------------------
-    def summarize(batch: pa.Table) -> pa.Table:
-        u, us, e = _cols(batch)
-        if not len(u):
-            return pa.table(
-                {c: pa.array([], pa.int64()) for c in (
-                    "k_user", "k_ts", "k_event",
-                    "first_user", "first_ts",
-                    "last_user", "last_ts",
-                    "n_sessions_first", "n_sessions_last", "single_user",
-                )}
-            )
+    @ray.remote
+    def summarize(block: pa.Table):
+        # An empty block from the sort can carry a columnless schema —
+        # guard BEFORE touching columns.
+        if block.num_rows == 0 or user_col not in block.schema.names:
+            return None
+        u, us, e = _cols(block)
         is_new, run = _local_runs(u, us)
         first_user, last_user = int(u[0]), int(u[-1])
         # sessions of the first/last user within this block
-        first_mask = u == first_user
-        last_mask = u == last_user
-        n_first = int(is_new[first_mask].sum())
-        n_last = int(is_new[last_mask].sum())
-        return pa.table(
-            {
-                "k_user": pa.array([first_user], pa.int64()),
-                "k_ts": pa.array([int(us[0])], pa.int64()),
-                "k_event": pa.array([int(e[0])], pa.int64()),
-                "first_user": pa.array([first_user], pa.int64()),
-                "first_ts": pa.array([int(us[0])], pa.int64()),
-                "last_user": pa.array([last_user], pa.int64()),
-                "last_ts": pa.array([int(us[-1])], pa.int64()),
-                "n_sessions_first": pa.array([n_first], pa.int64()),
-                "n_sessions_last": pa.array([n_last], pa.int64()),
-                "single_user": pa.array([int(first_user == last_user)], pa.int64()),
-            }
-        )
+        return {
+            "first_user": first_user,
+            "first_ts": int(us[0]),
+            "last_user": last_user,
+            "last_ts": int(us[-1]),
+            "n_sessions_first": int(is_new[u == first_user].sum()),
+            "n_sessions_last": int(is_new[u == last_user].sum()),
+            "single_user": int(first_user == last_user),
+        }
 
-    summaries = [
-        {c: b[c][i].as_py() for c in b.column_names}
-        for b in sorted_ds.map_batches(
-            summarize, batch_size=None, batch_format="pyarrow"
-        ).iter_batches(batch_size=1 << 10, batch_format="pyarrow")
-        for i in range(b.num_rows)
-    ]
-    # chain in global order (blocks are range partitions of the sort)
-    summaries.sort(key=lambda s: (s["k_user"], s["k_ts"], s["k_event"]))
+    summaries = ray.get([summarize.remote(ref) for ref in block_refs])
 
     # driver scan: O(#blocks) scalars — per block, does its first local run
     # merge into the previous block's last session, and at what per-user
     # ordinal offset do the first user's sessions start?
-    corrections: dict[tuple[int, int, int], tuple[int, int]] = {}
+    corrections: list[tuple[int, int]] = []
     carry_user = None  # user straddling into the next block
     carry_count = 0  # sessions of carry_user seen so far
     carry_ts = 0  # last event ts of carry_user
     for s in summaries:
+        if s is None:  # empty block — carry passes through unchanged
+            corrections.append((0, 0))
+            continue
         if carry_user is not None and s["first_user"] == carry_user:
             merge_first = int(s["first_ts"] - carry_ts <= gap_us)
             offset = carry_count - merge_first
         else:
             merge_first, offset = 0, 0
-        corrections[(s["k_user"], s["k_ts"], s["k_event"])] = (merge_first, offset)
+        corrections.append((merge_first, offset))
         if s["single_user"]:
             if carry_user is not None and s["first_user"] == carry_user:
                 carry_count = offset + s["n_sessions_first"]
@@ -177,12 +174,10 @@ def _sessionize_scan(
         else:
             carry_user, carry_count = s["last_user"], s["n_sessions_last"]
         carry_ts = s["last_ts"]
-    corr_ref = ray.put(corrections)
 
     # ---- pass 2: emit session partials with GLOBAL per-user ordinals -----
-    def emit(batch: pa.Table) -> pa.Table:
-        from .util import cached_get
-
+    @ray.remote
+    def emit(block: pa.Table, merge_first: int, offset: int) -> pa.Table:
         empty = pa.table(
             {
                 user_col: pa.array([], pa.int64()),
@@ -192,11 +187,10 @@ def _sessionize_scan(
                 "end_us": pa.array([], pa.int64()),
             }
         )
-        u, us, e = _cols(batch)
-        if not len(u):
+        if block.num_rows == 0 or user_col not in block.schema.names:
             return empty
+        u, us, e = _cols(block)
         is_new, run = _local_runs(u, us)
-        merge_first, offset = cached_get(corr_ref)[(int(u[0]), int(us[0]), int(e[0]))]
         # per-user local ordinal of each run: runs are numbered within the
         # block; ordinal(run) = run_index - (first run index of its user) + 1
         run_user = u[is_new]  # user of each run
@@ -228,7 +222,10 @@ def _sessionize_scan(
             }
         )
 
-    partials = sorted_ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
+    out_refs = [
+        emit.remote(ref, *corrections[i]) for i, ref in enumerate(block_refs)
+    ]
+    partials = rd.from_arrow_refs(out_refs)
     merged = partials.groupby([user_col, "session_id"]).aggregate(
         Sum("n_part", alias_name="n_events"),
         Min("start_us", alias_name="start_us"),
@@ -260,11 +257,11 @@ def asof_join(
        inclusive by construction,
     2. one vectorized pass per block: running last-right-row forward fill
        (``np.maximum.accumulate`` over right positions, key-guarded) +
-       a tiny boundary summary (first-row identity, last key, last right
-       row of the last key),
-    3. an O(#blocks) driver chain hands each block the right row carried
-       into it (for left rows of its first key that precede any in-block
-       right row),
+       a tiny boundary summary (first/last key, last right row of the
+       last key),
+    3. an O(#blocks) driver chain, keyed by BLOCK ORDINAL, hands each
+       block the right row carried into it (for left rows of its first
+       key that precede any in-block right row),
     4. a second pass over the SAME materialized blocks emits the joined
        left rows. No shuffle beyond the one sort; a hot key's history
        spans blocks freely.
@@ -274,7 +271,6 @@ def asof_join(
     that straddle blocks (tested with all-one-key inputs).
     """
     import ray
-    from .util import cached_get
 
     lslim = left.select_columns(list({key_col, ts_col, order_col, *left_cols}))
     rslim = right.select_columns(list({key_col, ts_col, order_col, *right_cols}))
@@ -317,71 +313,59 @@ def asof_join(
         od = batch["__ord"].to_numpy(zero_copy_only=False).astype(np.int64)
         return k, us, side, od
 
+    # Blocks of the materialized sort, in dataset order — the boundary
+    # chain is keyed by BLOCK ORDINAL, not first-row contents (duplicate
+    # first rows across blocks would collide in a content-keyed dict;
+    # ADVICE r3 #5). One task per block ref, both passes.
+    block_refs = [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, md in bundle.blocks
+        # skip empty blocks at the METADATA level — a sort can emit empty
+        # blocks with a columnless schema that would break column access
+        if md.num_rows is None or md.num_rows > 0
+    ]
+
     # ---- pass 1: per-block boundary summaries ----------------------------
-    def summarize(batch: pa.Table) -> pa.Table:
-        k, us, side, od = _cols(batch)
-        if not len(k):
-            return pa.table(
-                {
-                    "ident": pa.array([], pa.string()),
-                    "first_key": pa.array([], pa.int64()),
-                    "last_key": pa.array([], pa.int64()),
-                    "last_right": pa.array([], pa.binary()),
-                }
-            )
-        ident = f"{k[0]}|{us[0]}|{side[0]}|{od[0]}"
+    @ray.remote
+    def summarize(block: pa.Table):
+        if block.num_rows == 0 or key_col not in block.schema.names:
+            return None
+        k, us, side, od = _cols(block)
         last_key = int(k[-1])
         rmask = (side == 0) & (k == last_key)
         if rmask.any():
             j = int(np.flatnonzero(rmask)[-1])
             import pickle
 
-            vals = {c: batch[f"__r_{c}"][j].as_py() for c in right_cols}
+            vals = {c: block[f"__r_{c}"][j].as_py() for c in right_cols}
             blob = pickle.dumps(vals)
         else:
             blob = b""
-        return pa.table(
-            {
-                "ident": pa.array([ident], pa.string()),
-                "first_key": pa.array([int(k[0])], pa.int64()),
-                "last_key": pa.array([last_key], pa.int64()),
-                "last_right": pa.array([blob], pa.binary()),
-            }
-        )
+        return {"first_key": int(k[0]), "last_key": last_key, "last_right": blob}
 
-    summaries = []
-    for b in sorted_ds.map_batches(
-        summarize, batch_size=None, batch_format="pyarrow"
-    ).iter_batches(batch_size=1 << 10, batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            summaries.append({c: b[c][i].as_py() for c in b.column_names})
-
-    def _ident_key(ident: str):
-        a, b_, c, d = ident.split("|")
-        return (int(a), int(b_), int(c), int(d))
-
-    summaries.sort(key=lambda s: _ident_key(s["ident"]))
+    summaries = ray.get([summarize.remote(ref) for ref in block_refs])
     import pickle
 
-    corrections: dict[str, bytes] = {}
+    corrections: list[bytes] = []
     carry_key, carry_blob = None, b""
     for s in summaries:
-        corrections[s["ident"]] = (
-            carry_blob if carry_key == s["first_key"] else b""
-        )
+        if s is None:  # empty block — carry passes through unchanged
+            corrections.append(b"")
+            continue
+        corrections.append(carry_blob if carry_key == s["first_key"] else b"")
         if s["last_right"]:
             carry_key, carry_blob = s["last_key"], s["last_right"]
         elif carry_key != s["last_key"]:
             carry_key, carry_blob = s["last_key"], b""
         # else: same key continues with no new right rows — carry persists
-    corr_ref = ray.put(corrections)
 
     out_fields = [(c, f"__l_{c}") for c in left_cols]
 
-    def emit(batch: pa.Table) -> pa.Table:
-        k, us, side, od = _cols(batch)
+    @ray.remote
+    def emit(batch: pa.Table, carry: bytes) -> pa.Table:
         cols: dict = {key_col: [], ts_col: []}
-        if not len(k):
+        if batch.num_rows == 0:
             empty = {key_col: pa.array([], pa.int64()), ts_col: pa.array([], pa.timestamp("us"))}
             for c, src in out_fields:
                 empty[c] = pa.array([], batch.schema.field(src).type)
@@ -390,8 +374,7 @@ def asof_join(
                     [], batch.schema.field(f"__r_{c}").type
                 )
             return pa.table(empty)
-        ident = f"{k[0]}|{us[0]}|{side[0]}|{od[0]}"
-        carry = cached_get(corr_ref).get(ident, b"")
+        k, us, side, od = _cols(batch)
         carry_vals = pickle.loads(carry) if carry else None
         n = len(k)
         pos = np.arange(n, dtype=np.int64)
@@ -430,7 +413,9 @@ def asof_join(
             out[f"{c}{right_suffix}"] = filled
         return pa.table(out)
 
-    return sorted_ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
+    return rd.from_arrow_refs(
+        [emit.remote(ref, corrections[i]) for i, ref in enumerate(block_refs)]
+    )
 
 
 def hopping_window(

@@ -79,3 +79,32 @@ class TestPbfRoundTrip:
         import pandas as pd
 
         pd.testing.assert_frame_equal(_canon(elements), _canon(back))
+
+
+class TestSlicedBatchEncode:
+    def test_sliced_tags_column_round_trip(self):
+        """encode_primitive_block must address the tags MapArray's children
+        with the offsets pyarrow actually pairs with them — rebasing offsets
+        to 0 while .keys/.items return full un-sliced children emits the
+        WRONG key/value strings on any non-zero-offset column (ADVICE r3
+        #4). Build the batch from a sliced MapArray to pin the invariant."""
+        from osmptparser_ray.sources.osmxml import ELEMENT_SCHEMA
+        from osmptparser_ray.sources.pbf import decode_primitive_block
+        from osmptparser_ray.sources.pbf_write import encode_primitive_block
+
+        rows = [
+            {
+                "kind": "node", "id": i + 1, "lat": float(i), "lon": float(-i),
+                "tags": [(f"k{i}", f"v{i}")], "info": [],
+                "node_refs": None, "member_roles": None,
+                "member_refs": None, "member_types": None,
+            }
+            for i in range(5)
+        ]
+        full = pa.Table.from_pylist(rows, schema=ELEMENT_SCHEMA)
+        sliced = full.slice(2, 3)  # tags offsets no longer start at 0
+        dec = decode_primitive_block(encode_primitive_block(sliced))
+        assert dec["id"].to_pylist() == [3, 4, 5]
+        assert dec["tags"].to_pylist() == [
+            [("k2", "v2")], [("k3", "v3")], [("k4", "v4")]
+        ]

@@ -76,7 +76,13 @@ class TestShuffleModeParity:
     def test_shuffle_equals_broadcast(self, ray_session, pages_path, pt_rows):
         from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
 
+        from osmptparser_ray.stages.assemble import PT_SCHEMA
+
         ds = public_transports_from_pages(pages_path, gap=1500.0, mode="shuffle")
+        # Schema must match PT_SCHEMA exactly (stops typed list<struct<...,
+        # tags: map<string,string>>>, not whatever pyarrow infers from raw
+        # python lists — a real regression caught in round 3).
+        assert ds.schema().base_schema.equals(PT_SCHEMA)
         rows = sorted(ds.take_all(), key=lambda r: r["id"])
         assert len(rows) == len(pt_rows)
         for a, b in zip(rows, pt_rows):
@@ -85,7 +91,16 @@ class TestShuffleModeParity:
             assert dict(a["info"]) == dict(b["info"])
             assert a["status_code"] == b["status_code"]
             assert a["geometry"] == b["geometry"]
-            assert [s["id"] for s in a["stops"]] == [s["id"] for s in b["stops"]]
+            # full stop structs, tags included — not just ids
+            sa = [
+                {**s, "tags": dict(s["tags"]) if s["tags"] is not None else {}}
+                for s in a["stops"]
+            ]
+            sb = [
+                {**s, "tags": dict(s["tags"]) if s["tags"] is not None else {}}
+                for s in b["stops"]
+            ]
+            assert sa == sb
 
 
 class TestReplicaScaling:

@@ -69,3 +69,32 @@ class TestSessionizeScan:
         ev = rd.from_arrow(_events([(1, 5)]))
         with pytest.raises(ValueError):
             sessionize(ev, plan="nope")
+
+
+class TestDuplicateEventsAcrossBlocks:
+    def test_duplicate_first_rows_no_collision(self, ray_session):
+        """Thousands of IDENTICAL (user, ts, event_id) rows straddling many
+        blocks give several blocks the same first row; the boundary chain
+        must key by block ordinal, not first-row contents (ADVICE r3 #5).
+        Ground truth: the grouped plan."""
+        dup = 6000
+        rows = []
+        # user 1: a real earlier session, then a mountain of duplicates
+        rows.append((1, 0, 100))
+        rows += [(1, 10_000 * 1_000_000, 7)] * dup
+        # a second user so some duplicate-headed block is multi-user
+        rows += [(2, int(t) * 1_000_000, 200 + i) for i, t in enumerate(range(50))]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        ev = rd.from_arrow(t).repartition(16)
+        a = _canon(sessionize(ev, gap_seconds=1800, plan="grouped"))
+        b = _canon(sessionize(ev, gap_seconds=1800, plan="scan"))
+        assert a.equals(b)
+        # user 1: session 1 (the lone early event) + session 2 (the dups)
+        u1 = a[a.user_id == 1].sort_values("session_id")
+        assert list(u1.n_events) == [1, dup]

@@ -288,3 +288,27 @@ class TestBroadcastParity:
         a = {(r["point_id"], r["poly_id"]) for r in pip_join(points, polys_ds, level=10).take_all()}
         b = {(r["point_id"], r["poly_id"]) for r in pip_join_broadcast(points, polys_ds).take_all()}
         assert a == b and len(a) > 0
+
+
+class TestCellDensitySmoothed:
+    def test_edge_row_aliasing(self, ray_session):
+        """Off-grid neighbor rows (y=-1 / y=2^level) alias under the
+        key = x*2^level + y encoding to real cells at (x-1, 2^level-1) /
+        (x+1, 0); the attach stage must mask them out, not emit spurious
+        off-grid rows carrying the aliased cell's count (ADVICE r3 #2)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from osmptparser_ray.spatial.join import cell_density_smoothed
+
+        level = 4  # 16x16 grid
+        # bottom-row cell (8, 0) and top-row cell (7, 15): (8, -1) aliases
+        # exactly to (7, 15) under the unmasked key encoding.
+        pts = rd.from_arrow(pa.table({
+            "lat": pa.array([-85.0, -85.0, 85.0], pa.float64()),
+            "lon": pa.array([5.0, 5.0, -5.0], pa.float64()),
+        }))
+        rows = cell_density_smoothed(pts, level).take_all()
+        got = {(r["cell_x"], r["cell_y"]): (r["n"], r["n_smoothed"]) for r in rows}
+        assert all(0 <= x < 16 and 0 <= y < 16 for x, y in got), got
+        # exactly the two non-empty cells; windows don't overlap in-grid
+        assert got == {(8, 0): (2, 2), (7, 15): (1, 1)}

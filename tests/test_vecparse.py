@@ -109,6 +109,55 @@ class TestVecParity:
         with pytest.raises(VecContractError):
             _vec_table([payload])
 
+    def test_sibling_tag_after_self_closed_element_rejected(self):
+        # ADVICE r3 #3: without closer tracking, the <tag> sibling was
+        # attributed to the self-closed node (vec: [('a','b')], ET: []).
+        payload = '<osm><node id="1" lat="0" lon="0"/><tag k="a" v="b"/></osm>'
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_sibling_tag_after_closed_element_rejected(self):
+        payload = (
+            '<osm><node id="1" lat="0" lon="0"><tag k="x" v="y"/></node>'
+            '<tag k="a" v="b"/></osm>'
+        )
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_unclosed_element_at_payload_end_rejected(self):
+        payload = '<osm><way id="1"><nd ref="2"/></osm>'
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_mismatched_closer_rejected(self):
+        payload = '<osm><way id="1"><nd ref="2"/></node></osm>'
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_nested_element_rejected(self):
+        payload = (
+            '<osm><way id="1"><node id="2" lat="0" lon="0"/>'
+            '<nd ref="2"/></way></osm>'
+        )
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_closer_without_open_rejected(self):
+        payload = '<osm><node id="1" lat="0" lon="0"/></node></osm>'
+        with pytest.raises(VecContractError):
+            _vec_table([payload])
+
+    def test_explicit_close_pair_still_parses(self):
+        # <tag k v></tag>-style children and <way ...></way> immediately
+        # after a closed sibling stay INSIDE the contract
+        payload = (
+            '<osm><node id="1" lat="0" lon="0"><tag k="a" v="b"/></node>'
+            '<way id="2"><nd ref="1"/></way></osm>'
+        )
+        vec, _ = _vec_table([payload])
+        et, _ = _et_table([payload])
+        assert vec.equals(et)
+
 
 class TestVecExtractor:
     def test_extractor_vec_equals_et_with_url_and_validate(self):

@@ -1,0 +1,99 @@
+"""topk_per_group sort-scan plan: boundary-chain correctness.
+
+The round-4 rewrite replaced the per-group ``map_groups`` merge with one
+distributed sort + per-block vectorized head-k + an O(#blocks) driver
+boundary chain (stages/relational.py). These tests pin the chain against
+a pandas reference on shapes chosen to exercise the carry logic: groups
+spanning many blocks, one group owning every block, empty input.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _reference(df: pd.DataFrame, group, score, k, tiebreak) -> pd.DataFrame:
+    cols = [score] + ([tiebreak] if tiebreak else [])
+    asc = [False] + ([True] if tiebreak else [])
+    out = (
+        df.sort_values(cols, ascending=asc, kind="stable")
+        .groupby(group, sort=False)
+        .head(k)
+        .copy()
+    )
+    out["rank"] = out.groupby(group).cumcount() + 1
+    return out
+
+
+def _assert_matches(ds, df, group, score, k, tiebreak=None):
+    from osmptparser_ray.stages.relational import topk_per_group
+
+    got = (
+        topk_per_group(ds, group, score, k, tiebreak_col=tiebreak)
+        .to_pandas()
+        .sort_values([group, "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _reference(df, group, score, k, tiebreak)
+        .sort_values([group, "rank"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
+
+
+class TestTopkPerGroup:
+    def test_random_many_groups_many_blocks(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 50, n),
+                "s": rng.integers(0, 1000, n),
+                "id": np.arange(n),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(16)
+        _assert_matches(ds, df, "g", "s", 3, tiebreak="id")
+
+    def test_single_group_spans_all_blocks(self, ray_session):
+        # one group across every block — every block's offset is nonzero
+        # after the first, and only the first k rows overall survive
+        n = 500
+        df = pd.DataFrame({"g": 0, "s": np.arange(n)[::-1], "id": np.arange(n)})
+        ds = rd.from_pandas(df).repartition(20)
+        _assert_matches(ds, df, "g", "s", 7, tiebreak="id")
+
+    def test_group_boundary_straddles_blocks(self, ray_session):
+        # two groups, the second starting mid-block after sort; k larger
+        # than any single block's share so the carry chain must add up
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 30 + ["b"] * 30,
+                "s": list(range(30)) + list(range(30)),
+                "id": range(60),
+            }
+        )
+        ds = rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(9)
+        _assert_matches(ds, df, "g", "s", 25, tiebreak="id")
+
+    def test_k_exceeds_group_size(self, ray_session):
+        df = pd.DataFrame({"g": [1, 1, 2], "s": [5, 3, 9], "id": [0, 1, 2]})
+        _assert_matches(rd.from_pandas(df), df, "g", "s", 10, tiebreak="id")
+
+    def test_empty_input(self, ray_session):
+        from osmptparser_ray.stages.relational import topk_per_group
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        )
+        out = topk_per_group(ds, "g", "s", 3)
+        assert out.count() == 0

@@ -312,3 +312,90 @@ class TestCellDensitySmoothed:
         assert all(0 <= x < 16 and 0 <= y < 16 for x, y in got), got
         # exactly the two non-empty cells; windows don't overlap in-grid
         assert got == {(8, 0): (2, 2), (7, 15): (1, 1)}
+
+
+class TestPolyRowsVectorized:
+    """_poly_rows (pip_join shuffle plan) round-4 vectorization: parity
+    against the scalar cover_bbox/pack_ring semantics it replaced,
+    including empty rings and a sliced (non-zero-offset) batch."""
+
+    @staticmethod
+    def _scalar_reference(batch, level, salt):
+        from osmptparser_ray.spatial.cell import cover_bbox
+        from osmptparser_ray.spatial.pip import pack_ring, ring_bbox
+
+        rows = set()
+        for pid, la, lo in zip(
+            batch["gid"].to_pylist(),
+            batch["ring_lat"].to_pylist(),
+            batch["ring_lon"].to_pylist(),
+        ):
+            if not la:
+                continue
+            blob = pack_ring(la, lo)
+            cover = cover_bbox(*ring_bbox(la, lo), level)
+            for c in cover:
+                for s in range(salt):
+                    rows.add((int(c), s, pid, blob))
+        return rows
+
+    def _got(self, batch, level, salt):
+        from osmptparser_ray.spatial.join import _poly_rows
+
+        out = _poly_rows(
+            batch, level=level, salt=salt, id_col="gid",
+            ring_lat_col="ring_lat", ring_lon_col="ring_lon",
+        )
+        return {
+            (int(c), int(s), g, b)
+            for c, s, g, b in zip(
+                out["cell"].to_pylist(), out["salt"].to_pylist(),
+                out["gid"].to_pylist(), out["blob"].to_pylist(),
+            )
+        }
+
+    def _mk_batch(self):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(11)
+        rings_lat, rings_lon, gids = [], [], []
+        for i in range(40):
+            if i % 7 == 3:  # empty ring interleaved
+                rings_lat.append([])
+                rings_lon.append([])
+            else:
+                m = int(rng.integers(3, 12))
+                c_lat, c_lon = rng.uniform(-60, 60), rng.uniform(-170, 170)
+                ext = rng.uniform(0.01, 3.0)
+                rings_lat.append((c_lat + rng.uniform(-ext, ext, m)).tolist())
+                rings_lon.append((c_lon + rng.uniform(-ext, ext, m)).tolist())
+            gids.append(i)
+        return pa.table({
+            "gid": pa.array(gids, pa.int64()),
+            "ring_lat": pa.array(rings_lat, pa.list_(pa.float64())),
+            "ring_lon": pa.array(rings_lon, pa.list_(pa.float64())),
+        })
+
+    def test_parity_with_scalar_cover(self):
+        batch = self._mk_batch()
+        for level, salt in [(6, 1), (9, 3)]:
+            got = self._got(batch, level, salt)
+            want = self._scalar_reference(batch, level, salt)
+            assert got == want and len(got) > 0
+
+    def test_sliced_batch(self):
+        batch = self._mk_batch().slice(13, 19)
+        got = self._got(batch, 8, 2)
+        want = self._scalar_reference(batch, 8, 2)
+        assert got == want and len(got) > 0
+
+    def test_all_empty_rings(self):
+        import pyarrow as pa
+
+        batch = pa.table({
+            "gid": pa.array([1, 2], pa.int64()),
+            "ring_lat": pa.array([[], []], pa.list_(pa.float64())),
+            "ring_lon": pa.array([[], []], pa.list_(pa.float64())),
+        })
+        assert len(self._got(batch, 8, 2)) == 0

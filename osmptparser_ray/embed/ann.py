@@ -330,7 +330,7 @@ def cosine_near_dup(
         blk = g["blk"].to_numpy(dtype=np.int8)
         lo = int(g["lo"].iloc[0])
         hi = int(g["hi"].iloc[0])
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        m = _normalize(_to_matrix(pa.array(g[vec_col])))
         order = np.argsort(ids)
         ids, m, blk = ids[order], m[order], blk[order]
         if lo == hi:

@@ -296,6 +296,29 @@ def _q_interval_join(sf_dir: str):
     return interval_join(ev, _INTERVAL_BANDS)
 
 
+def _q_interval_join_shuffle(sf_dir: str):
+    """Big-big range join (round-4): the same 15 overlapping bands as a
+    DATASET side — both sides band onto value cells and hash-join (the
+    1-D pip_join shuffle pattern; salt=2 exercises the hot-cell path).
+    Same theta-join oracle as the broadcast plan."""
+    import pandas as _pd
+    import ray.data as _rd
+
+    from osmptparser_ray.stages.relational import interval_join_shuffle
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    ivs = _rd.from_pandas(
+        _pd.DataFrame(
+            {
+                "interval_id": [b[0] for b in _INTERVAL_BANDS],
+                "lo": [b[1] for b in _INTERVAL_BANDS],
+                "hi": [b[2] for b in _INTERVAL_BANDS],
+            }
+        )
+    )
+    return interval_join_shuffle(ev, ivs, salt=2)
+
+
 def _q_exact_quantiles(sf_dir: str):
     """Exact distributed quantiles (round-3): one sort + metadata-indexed
     rank picks; the exact baseline any approximate sketch verifies
@@ -304,6 +327,64 @@ def _q_exact_quantiles(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_quantity"])
     return exact_quantiles(li, "l_quantity", [0.1, 0.25, 0.5, 0.9, 0.99])
+
+
+def _q_quantile_sketch(sf_dir: str):
+    """EXACT quantiles WITHOUT a global sort (round-4): mergeable
+    per-block sketch → rank bracket → one refine pass reads the answer
+    off the collected bracket slice. Same quantile_disc oracle as
+    exact_quantiles — the sketch machinery is hash-gated end-to-end."""
+    from osmptparser_ray.stages.relational import quantiles_by_sketch
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    return quantiles_by_sketch(li, "l_quantity", [0.1, 0.25, 0.5, 0.9, 0.99], eps=0.02)
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Purely approximate quantiles (round-4): one streaming pass, no
+    sort, no refine collect — the 100-TB monitoring default. Output
+    (q, value, rank_err_bound) is partitioning-dependent, so this query
+    has NO SQL oracle (rows-only driver check); the rank-error bound is
+    asserted in pytest against exact_quantiles and verified live here:
+    raises if any returned value's true rank misses the bound."""
+    import numpy as np
+
+    from osmptparser_ray.stages.relational import approx_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    out = approx_quantiles(li, "l_quantity", [0.1, 0.25, 0.5, 0.9, 0.99], eps=0.02)
+    # live bound check: count true ranks distributedly (one tiny pass)
+    vals = np.asarray(out["value"].to_pylist(), np.float64)
+    import pyarrow as _pa
+
+    def rank_counts(b):
+        x = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return _pa.table(
+            {
+                "lt": _pa.array((x[None, :] < vals[:, None]).sum(axis=1), _pa.int64()),
+                "le": _pa.array((x[None, :] <= vals[:, None]).sum(axis=1), _pa.int64()),
+                "n": _pa.array([len(x)] * len(vals), _pa.int64()),
+                "qi": _pa.array(np.arange(len(vals)), _pa.int64()),
+            }
+        )
+
+    parts = (
+        li.map_batches(rank_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("qi")
+        .sum()
+    )
+    n = int(parts["n"].max()) if len(parts) else 0
+    for qi, (q, err) in enumerate(
+        zip(out["q"].to_pylist(), out["rank_err_bound"].to_pylist())
+    ):
+        target = min(max(int(np.ceil(q * n)), 1), n)
+        r_lo = int(parts["lt"].iloc[qi]) + 1
+        r_hi = int(parts["le"].iloc[qi])
+        dist = 0 if r_lo <= target <= r_hi else min(abs(target - r_lo), abs(target - r_hi))
+        if dist > err:
+            raise AssertionError(f"approx quantile bound violated: q={q} dist={dist} err={err}")
+    return out
 
 
 def _q_areas_fixture(sf_dir: str):
@@ -1084,7 +1165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
         "interval_join": _q_interval_join,
+        "interval_join_shuffle": _q_interval_join_shuffle,
         "exact_quantiles": _q_exact_quantiles,
+        "quantile_sketch": _q_quantile_sketch,
+        "approx_quantiles": _q_approx_quantiles,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,
@@ -1195,7 +1279,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id AS event_id, CAST(b.interval_id AS BIGINT) AS interval_id "
             "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
+        "interval_join_shuffle": (
+            "WITH bands(interval_id, lo, hi) AS (VALUES (0, 0.0, 4.0), (1, 1.5, 5.5), (2, 3.0, 7.0), (3, 4.5, 8.5), (4, 6.0, 10.0), (5, 7.5, 11.5), (6, 9.0, 13.0), (7, 10.5, 14.5), (8, 12.0, 16.0), (9, 13.5, 17.5), (10, 15.0, 19.0), (11, 16.5, 20.5), (12, 18.0, 22.0), (13, 19.5, 23.5), (14, 21.0, 25.0)) "
+            "SELECT e.event_id AS event_id, CAST(b.interval_id AS BIGINT) AS interval_id "
+            "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+        ),
         "exact_quantiles": (
+            "SELECT q, value FROM ("
+            "SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem "
+            "UNION ALL SELECT 0.25, quantile_disc(l_quantity, 0.25) FROM lineitem "
+            "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
+            "UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem "
+            "UNION ALL SELECT 0.99, quantile_disc(l_quantity, 0.99) FROM lineitem)"
+        ),
+        # quantile_sketch: sketch→bracket→refine is EXACT (quantile_disc
+        # semantics) — same oracle as exact_quantiles. approx_quantiles
+        # deliberately has no SQL entry (partitioning-dependent output;
+        # rows-only driver check + live in-query bound assertion + pytest
+        # vs the exact operator).
+        "quantile_sketch": (
             "SELECT q, value FROM ("
             "SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem "
             "UNION ALL SELECT 0.25, quantile_disc(l_quantity, 0.25) FROM lineitem "

@@ -1,10 +1,10 @@
 """General relational operators (guide patterns as first-class functions).
 
 * ``topk_per_group`` — top-k rows per group key by a score column:
-  per-batch partial top-k (vectorized pandas sort/head — a combiner that
-  caps shuffle volume at k rows per group per batch) then a row-carrying
-  top-k AggregateFn merge (no per-group pandas UDF). The training-data
-  staple "best k documents per domain".
+  per-batch partial top-k combiner, one distributed sort, then per-block
+  vectorized head-k with an O(#blocks) driver boundary chain (no
+  per-group UDF anywhere). The training-data staple "best k documents
+  per domain".
 * ``broadcast_join`` — map-side dimension enrichment: the small side is
   collected once, ``ray.put``, and merged into every batch with a pandas
   hash merge — zero shuffle (guide §joins: "small side: broadcast it").
@@ -372,8 +372,12 @@ def exact_quantiles(
 
     @ray.remote
     def pick(block, local_ranks):
-        c = block[col] if hasattr(block, "column_names") else block
-        return [c[int(i)].as_py() for i in local_ranks]
+        # blocks can be pandas (upstream pandas-format stages survive the
+        # sort) — positional indexing either way, never label-based
+        if isinstance(block, pd.DataFrame):
+            vals = block[col].to_numpy()
+            return [vals[int(i)] for i in local_ranks]
+        return [block[col][int(i)].as_py() for i in local_ranks]
 
     per_block: dict[int, list[tuple[int, int]]] = {}
     for qi, r in enumerate(ranks):
@@ -391,3 +395,333 @@ def exact_quantiles(
     return pa.table(
         {"q": pa.array(qs, pa.float64()), "value": pa.array(out_vals, pa.float64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles (round-4, VERDICT r3 "What's missing #1")
+# ---------------------------------------------------------------------------
+
+
+def _sketch_samples(ds: "rd.Dataset", col: str, eps: float):
+    """Mergeable per-block quantile partials → merged weighted samples.
+
+    Per block (map_batches, vectorized): sort the column, keep every
+    ``s = max(1, floor(eps·m))``-th value plus the block max; each kept
+    sample carries its EXACT local rank as a weight delta, so the block
+    summary is a weighted staircase with per-query rank uncertainty < s.
+    Driver merge: concatenate all block samples (Σ m_b/s_b ≈ #blocks/eps
+    rows — for 10^6-block corpora insert one intermediate compression
+    level: re-stride each merged partition by weight W, adding W to the
+    bound), sort by value, cumulative weight. Total rank-error bound =
+    Σ_b s_b ≤ eps·n + #blocks.
+
+    Returns (values_sorted, cumweights, n, err_bound); n counts non-null
+    rows (nulls are dropped — same contract as ``exact_quantiles``).
+    """
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.drop_null(batch[col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(v)
+        if m == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "weight": pa.array([], pa.int64()),
+                    "block_stride": pa.array([], pa.int64()),
+                }
+            )
+        v.sort()
+        s = max(1, int(eps * m))
+        idx = np.arange(s - 1, m, s, dtype=np.int64)
+        if idx[-1] != m - 1:
+            idx = np.append(idx, m - 1)
+        w = np.diff(np.concatenate([[-1], idx])).astype(np.int64)
+        stride = np.zeros(len(idx), np.int64)
+        stride[0] = s  # one err contribution per block, summed on the driver
+        return pa.table(
+            {
+                "value": pa.array(v[idx], pa.float64()),
+                "weight": pa.array(w, pa.int64()),
+                "block_stride": pa.array(stride, pa.int64()),
+            }
+        )
+
+    vals_l, w_l, s_l = [], [], []
+    for b in ds.select_columns([col]).map_batches(
+        sketch_block, batch_format="pyarrow"
+    ).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        vals_l.append(b["value"].to_numpy(zero_copy_only=False))
+        w_l.append(b["weight"].to_numpy(zero_copy_only=False))
+        s_l.append(int(b["block_stride"].to_numpy(zero_copy_only=False).sum()))
+    if not vals_l:
+        return np.empty(0, np.float64), np.empty(0, np.int64), 0, 0
+    vals = np.concatenate(vals_l)
+    w = np.concatenate(w_l)
+    err = int(sum(s_l))
+    order = np.argsort(vals, kind="stable")
+    vals, w = vals[order], w[order]
+    return vals, np.cumsum(w), int(w.sum()), err
+
+
+def approx_quantiles(
+    ds: "rd.Dataset",
+    col: str,
+    qs: "list[float]",
+    eps: float = 0.01,
+) -> "pa.Table":
+    """Approximate quantiles from the mergeable block sketch — (q, value,
+    rank_err_bound) rows; the returned value is an actual data value whose
+    rank is within ``rank_err_bound`` (≤ eps·n + #blocks) of the
+    quantile_disc target rank ceil(q·n). One streaming pass, no sort, no
+    full materialization — the 100-TB default that ``exact_quantiles``
+    is the verification baseline for."""
+    vals, cumw, n, err = _sketch_samples(ds, col, eps)
+    if n == 0:
+        return pa.table(
+            {
+                "q": pa.array(qs, pa.float64()),
+                "value": pa.nulls(len(qs), pa.float64()),
+                "rank_err_bound": pa.array([0] * len(qs), pa.int64()),
+            }
+        )
+    out = []
+    for q in qs:
+        r = min(max(int(np.ceil(q * n)), 1), n)
+        i = int(np.searchsorted(cumw, r, side="left"))
+        out.append(float(vals[min(i, len(vals) - 1)]))
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(out, pa.float64()),
+            "rank_err_bound": pa.array([err] * len(qs), pa.int64()),
+        }
+    )
+
+
+def quantiles_by_sketch(
+    ds: "rd.Dataset",
+    col: str,
+    qs: "list[float]",
+    eps: float = 0.01,
+) -> "pa.Table":
+    """EXACT quantiles (quantile_disc semantics, same output as
+    ``exact_quantiles``) WITHOUT a global sort: sketch → bracket → refine.
+
+    Pass 1 builds the block sketch; the driver brackets each target rank
+    between sample values guaranteed (by the sketch's rank bound, ×2 for
+    safety) to straddle the true quantile. Pass 2 counts values below
+    each bracket and collects only the in-bracket values (≤ ~4·eps·n per
+    quantile — choose eps so that fits the driver; the purely
+    approximate ``approx_quantiles`` never collects). The exact answer is
+    read off the collected slice. Preferred over ``exact_quantiles`` at
+    scale: two streaming passes instead of an all-to-all sort.
+    """
+    import ray
+
+    vals, cumw, n, err = _sketch_samples(ds, col, eps)
+    if n == 0:
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())}
+        )
+    ranks = [min(max(int(np.ceil(q * n)), 1), n) for q in qs]
+    los, his = [], []
+    for r in ranks:
+        li = int(np.searchsorted(cumw, max(r - 2 * err, 0), side="left")) - 1
+        hi_i = int(np.searchsorted(cumw, min(r + 2 * err, n), side="left"))
+        los.append(float(vals[li]) if li >= 0 else -np.inf)
+        his.append(float(vals[min(hi_i, len(vals) - 1)]))
+    lo_a, hi_a = np.asarray(los), np.asarray(his)
+    nq = len(qs)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.drop_null(batch[col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        qi_out, cnt_out, mids_out = [], [], []
+        for j in range(nq):
+            qi_out.append(j)
+            cnt_out.append(int((v < lo_a[j]).sum()))
+            mids_out.append(v[(v >= lo_a[j]) & (v <= hi_a[j])])
+        return pa.table(
+            {
+                "qi": pa.array(qi_out, pa.int64()),
+                "n_lt": pa.array(cnt_out, pa.int64()),
+                "mid": pa.array(
+                    [m.tolist() for m in mids_out], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    n_lt = np.zeros(nq, np.int64)
+    mids: list[list[np.ndarray]] = [[] for _ in range(nq)]
+    for b in ds.select_columns([col]).map_batches(
+        refine, batch_format="pyarrow"
+    ).iter_batches(batch_size=1 << 12, batch_format="pyarrow"):
+        qi = b["qi"].to_numpy(zero_copy_only=False)
+        cnt = b["n_lt"].to_numpy(zero_copy_only=False)
+        mid_col = b["mid"].combine_chunks()
+        off = np.asarray(mid_col.offsets, np.int64)
+        off = off - off[0]
+        flat = mid_col.flatten().to_numpy(zero_copy_only=False)
+        for row in range(len(qi)):
+            j = int(qi[row])
+            n_lt[j] += int(cnt[row])
+            mids[j].append(flat[off[row] : off[row + 1]])
+    out = []
+    for j, r in enumerate(ranks):
+        slice_sorted = np.sort(np.concatenate(mids[j])) if mids[j] else np.empty(0)
+        k = r - 1 - int(n_lt[j])
+        if not 0 <= k < len(slice_sorted):  # bracket bound violated — cannot
+            raise AssertionError(  # happen if the sketch bound holds
+                f"quantile bracket miss: q={qs[j]} rank={r} n_lt={n_lt[j]} "
+                f"slice={len(slice_sorted)}"
+            )
+        out.append(float(slice_sorted[k]))
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# big-big interval join (round-4, VERDICT r3 "What's missing #2")
+# ---------------------------------------------------------------------------
+
+
+def interval_join_shuffle(
+    points: "rd.Dataset",
+    intervals: "rd.Dataset",
+    value_col: str = "value",
+    point_id: str = "event_id",
+    interval_id: str = "interval_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    *,
+    cell_width: "float | None" = None,
+    salt: int = 1,
+) -> "rd.Dataset":
+    """Big-big range join: BOTH sides are Datasets — (point_id,
+    interval_id) for every ``lo <= value < hi`` pair.
+
+    Physical plan (the 1-D ``pip_join`` shuffle pattern): intervals are
+    replicated to every value cell they span (vectorized repeat/cumsum
+    per batch), points band to their single cell, and an inner hash-join
+    on the cell key co-locates candidates; the exact half-open filter
+    runs vectorized per joined batch. A point lives in exactly ONE cell,
+    so each matching pair is produced exactly once — no dedup pass.
+
+    ``cell_width`` defaults to the MEAN interval width (one tiny partial
+    aggregate over the intervals; the width only tunes the replication
+    factor, never correctness). ``salt > 1`` splits each cell's POINTS
+    into ``salt`` join sub-keys and replicates that cell's interval rows
+    to each — the hot-cell treatment shared with ``pip_join``.
+
+    Partitioning assumption: per-interval replication ≈ width/cell_width
+    stays O(1) for unimodal widths; a few domain-spanning intervals
+    belong in the broadcast plan (``interval_join``) or a per-scale band
+    split.
+    """
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    if cell_width is None:
+        stats = intervals.select_columns([lo_col, hi_col]).map_batches(
+            lambda b: pa.table(
+                {
+                    "w": pa.array(
+                        [
+                            float(
+                                np.maximum(
+                                    b[hi_col].to_numpy(zero_copy_only=False)
+                                    - b[lo_col].to_numpy(zero_copy_only=False),
+                                    0.0,
+                                ).sum()
+                            )
+                        ],
+                        pa.float64(),
+                    ),
+                    "n": pa.array([b.num_rows], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        tot_w, tot_n = float(stats["w"].sum()), int(stats["n"].sum())
+        cell_width = max(tot_w / tot_n, 1e-12) if tot_n else 1.0
+    w = float(cell_width)
+
+    def interval_rows(batch: pa.Table) -> pa.Table:
+        iid = batch[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = hi > lo
+        iid, lo, hi = iid[valid], lo[valid], hi[valid]
+        c0 = np.floor(lo / w).astype(np.int64)
+        c1 = np.floor(np.nextafter(hi, -np.inf) / w).astype(np.int64)
+        cnt = c1 - c0 + 1
+        total = int(cnt.sum())
+        k = np.repeat(np.arange(len(iid), dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        cells = c0[k] + within
+        rep = np.repeat(np.arange(total, dtype=np.int64), salt)
+        return pa.table(
+            {
+                "cell": pa.array(cells[rep], pa.int64()),
+                "jsalt": pa.array(
+                    np.tile(np.arange(salt, dtype=np.int64), total), pa.int64()
+                ),
+                interval_id: pa.array(iid[k][rep], pa.int64()),
+                "_lo": pa.array(lo[k][rep], pa.float64()),
+                "_hi": pa.array(hi[k][rep], pa.float64()),
+            }
+        )
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = np.floor(v / w).astype(np.int64)
+        ps = (
+            (pid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+        ).astype(np.int64) % salt
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "jsalt": pa.array(ps, pa.int64()),
+                point_id: pa.array(pid, pa.int64()),
+                "_v": pa.array(v, pa.float64()),
+            }
+        )
+
+    # an all-empty side crashes the Acero join ("No match for key field…"
+    # — the empty-block hazard from NOTES_ROUND3, and a schema-ful empty
+    # block does NOT heal it) — short-circuit. The banded interval side is
+    # small enough to materialize for its count; the big points side stays
+    # LAZY for the join and is only probed with limit(1).
+    empty = pa.table(
+        {
+            point_id: pa.array([], pa.int64()),
+            interval_id: pa.array([], pa.int64()),
+        }
+    )
+    left = points.map_batches(point_rows, batch_format="pyarrow")
+    right = intervals.map_batches(interval_rows, batch_format="pyarrow").materialize()
+    if right.count() == 0 or left.limit(1).count() == 0:
+        return rd.from_arrow(empty)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("cell", "jsalt"),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+    def exact(batch: pa.Table) -> pa.Table:
+        v = batch["_v"].to_numpy(zero_copy_only=False)
+        keep = (v >= batch["_lo"].to_numpy(zero_copy_only=False)) & (
+            v < batch["_hi"].to_numpy(zero_copy_only=False)
+        )
+        out = batch.filter(pa.array(keep))
+        return out.select([point_id, interval_id])
+
+    return joined.map_batches(exact, batch_format="pyarrow")

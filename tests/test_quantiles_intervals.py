@@ -1,0 +1,157 @@
+"""Round-4 operators: approximate quantile sketch + big-big interval join.
+
+- ``approx_quantiles``: the returned value's TRUE rank must be within the
+  returned ``rank_err_bound`` of the quantile_disc target rank, on random
+  data across several partitionings and eps settings.
+- ``quantiles_by_sketch``: sketch → bracket → refine must equal
+  ``exact_quantiles`` EXACTLY (same quantile_disc semantics, no sort).
+- ``interval_join_shuffle``: pair-set parity with the broadcast
+  ``interval_join`` plan, including overlapping bands, salt > 1, negative
+  values, and a degenerate all-in-one-cell corpus.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.9, 0.99]
+
+
+class TestApproxQuantiles:
+    def _check_bound(self, data: np.ndarray, ds, eps):
+        from osmptparser_ray.stages.relational import approx_quantiles
+
+        out = approx_quantiles(ds, "x", QS, eps=eps)
+        srt = np.sort(data)
+        n = len(srt)
+        for q, v, err in zip(
+            out["q"].to_pylist(), out["value"].to_pylist(), out["rank_err_bound"].to_pylist()
+        ):
+            target = min(max(int(np.ceil(q * n)), 1), n)
+            # true rank bracket of v in the sorted data (duplicates span)
+            r_lo = int(np.searchsorted(srt, v, side="left")) + 1
+            r_hi = int(np.searchsorted(srt, v, side="right"))
+            dist = 0 if r_lo <= target <= r_hi else min(
+                abs(target - r_lo), abs(target - r_hi)
+            )
+            assert dist <= err, (q, v, target, r_lo, r_hi, err)
+
+    def test_rank_error_bound(self, ray_session):
+        rng = np.random.default_rng(5)
+        data = rng.normal(size=20_000) * 100
+        for nparts, eps in [(4, 0.01), (16, 0.02), (40, 0.05)]:
+            ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(nparts)
+            self._check_bound(data, ds, eps)
+
+    def test_duplicate_heavy(self, ray_session):
+        rng = np.random.default_rng(6)
+        data = rng.integers(0, 20, 30_000).astype(np.float64)
+        ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(12)
+        self._check_bound(data, ds, 0.02)
+
+    def test_empty(self, ray_session):
+        from osmptparser_ray.stages.relational import approx_quantiles
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+        out = approx_quantiles(ds, "x", [0.5])
+        assert out["value"].to_pylist() == [None]
+
+
+class TestQuantilesBySketch:
+    def test_matches_exact(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            exact_quantiles,
+            quantiles_by_sketch,
+        )
+
+        rng = np.random.default_rng(9)
+        data = np.concatenate(
+            [rng.normal(size=8_000) * 50, rng.integers(0, 5, 4_000).astype(float)]
+        )
+        ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(14).materialize()
+        got = quantiles_by_sketch(ds, "x", QS, eps=0.02)
+        want = exact_quantiles(ds, "x", QS)
+        assert got["value"].to_pylist() == want["value"].to_pylist()
+
+    def test_single_block_and_tiny(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            exact_quantiles,
+            quantiles_by_sketch,
+        )
+
+        df = pd.DataFrame({"x": [3.0, 1.0, 2.0]})
+        ds = rd.from_pandas(df).materialize()
+        got = quantiles_by_sketch(ds, "x", [0.0, 0.5, 1.0], eps=0.5)
+        want = exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
+        assert got["value"].to_pylist() == want["value"].to_pylist()
+
+
+class TestIntervalJoinShuffle:
+    def _pairs(self, out):
+        t = (
+            out.to_pandas()
+            if hasattr(out, "to_pandas")
+            else out
+        )
+        return set(zip(t["event_id"], t["interval_id"]))
+
+    def _parity(self, values, bands, salt=1, cell_width=None):
+        from osmptparser_ray.stages.relational import (
+            interval_join,
+            interval_join_shuffle,
+        )
+
+        pts = rd.from_pandas(
+            pd.DataFrame({"event_id": np.arange(len(values)), "value": values})
+        ).repartition(6)
+        ivs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "interval_id": [b[0] for b in bands],
+                    "lo": [b[1] for b in bands],
+                    "hi": [b[2] for b in bands],
+                }
+            )
+        ).repartition(3)
+        got = self._pairs(
+            interval_join_shuffle(
+                pts, ivs, salt=salt, cell_width=cell_width
+            )
+        )
+        want = self._pairs(interval_join(pts, bands))
+        assert got == want
+        return got
+
+    def test_overlapping_bands_parity(self, ray_session):
+        rng = np.random.default_rng(3)
+        values = rng.uniform(-5, 30, 3_000)
+        bands = [(i, i * 1.5 - 4.0, i * 1.5 + 2.5) for i in range(18)]
+        pairs = self._parity(values, bands)
+        assert len(pairs) > 0
+
+    def test_salted_parity(self, ray_session):
+        rng = np.random.default_rng(4)
+        values = rng.uniform(0, 10, 2_000)
+        bands = [(0, 0.0, 10.0), (1, 2.0, 3.0), (2, 9.5, 12.0)]
+        pairs = self._parity(values, bands, salt=4)
+        assert len(pairs) > 2_000  # band 0 catches everything
+
+    def test_degenerate_one_cell(self, ray_session):
+        # huge cell width: every interval and point lands in one cell
+        rng = np.random.default_rng(8)
+        values = rng.uniform(0, 1, 500)
+        bands = [(0, 0.2, 0.4), (1, 0.1, 0.9)]
+        self._parity(values, bands, cell_width=1e6)
+
+    def test_empty_intervals(self, ray_session):
+        from osmptparser_ray.stages.relational import interval_join_shuffle
+
+        pts = rd.from_pandas(
+            pd.DataFrame({"event_id": [1, 2], "value": [0.5, 1.5]})
+        )
+        ivs = rd.from_pandas(
+            pd.DataFrame({"interval_id": [7], "lo": [5.0], "hi": [5.0]})
+        )  # hi <= lo: dropped
+        assert interval_join_shuffle(pts, ivs).count() == 0

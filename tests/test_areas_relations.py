@@ -165,3 +165,31 @@ class TestEngineIndependentGolden:
             for r in entry.queries()["raster_vector"](sf_dir).take_all()
         )
         assert got == want and len(got) == 3
+
+
+class TestSplitPlanParity:
+    def test_split_equals_scan3(self, ray_session, tmp_path):
+        """plan="split" (round-4 fused kind-split) must produce tables
+        IDENTICAL to plan="scan3" — relations/ways/nodes compared row-set
+        exact (sorted by id) including flags and list columns."""
+        from osmptparser_ray.kernel.filters import PTV2
+        from osmptparser_ray.sources import synthesize_pages_parquet
+        from osmptparser_ray.stages.elements import (
+            build_parser_tables,
+            extract_elements,
+            read_pages,
+        )
+
+        pages = str(tmp_path / "pages")
+        synthesize_pages_parquet(pages, replicas=3, files=4)
+
+        def tables_for(plan):
+            elements = extract_elements(read_pages(pages, validate=False), validate=False)
+            return build_parser_tables(elements, PTV2, plan=plan)
+
+        a, b = tables_for("split"), tables_for("scan3")
+        for name in ("relations", "ways", "nodes"):
+            ra = sorted(getattr(a, name).take_all(), key=lambda r: (r["id"],))
+            rb = sorted(getattr(b, name).take_all(), key=lambda r: (r["id"],))
+            assert ra == rb, name
+            assert len(ra) > 0, name

@@ -402,18 +402,26 @@ def exact_quantiles(
 # ---------------------------------------------------------------------------
 
 
-def _sketch_samples(ds: "rd.Dataset", col: str, eps: float):
+def _sketch_samples(
+    ds: "rd.Dataset", col: str, eps: float, max_samples: int = 1 << 20
+):
     """Mergeable per-block quantile partials → merged weighted samples.
 
     Per block (map_batches, vectorized): sort the column, keep every
     ``s = max(1, floor(eps·m))``-th value plus the block max; each kept
     sample carries its EXACT local rank as a weight delta, so the block
     summary is a weighted staircase with per-query rank uncertainty < s.
-    Driver merge: concatenate all block samples (Σ m_b/s_b ≈ #blocks/eps
-    rows — for 10^6-block corpora insert one intermediate compression
-    level: re-stride each merged partition by weight W, adding W to the
-    bound), sort by value, cumulative weight. Total rank-error bound =
-    Σ_b s_b ≤ eps·n + #blocks.
+
+    If the partial rows exceed ``max_samples`` (10^6-block corpora:
+    Σ m_b/s_b ≈ #blocks/eps), one distributed COMPRESSION level runs
+    first: partials are repartitioned and each partition is re-strided
+    by cumulative weight W — the partition's summary shrinks to
+    ~total_weight/W samples and its rank uncertainty grows by
+    ≤ W + max(input weight), accounted exactly in the returned bound.
+
+    Driver merge: concatenate the (now bounded) samples, sort by value,
+    cumulative weight. Total rank-error bound = Σ per-summary
+    uncertainties (≤ eps·n + #blocks without compression).
 
     Returns (values_sorted, cumweights, n, err_bound); n counts non-null
     rows (nulls are dropped — same contract as ``exact_quantiles``).
@@ -448,10 +456,55 @@ def _sketch_samples(ds: "rd.Dataset", col: str, eps: float):
             }
         )
 
-    vals_l, w_l, s_l = [], [], []
-    for b in ds.select_columns([col]).map_batches(
+    partials = ds.select_columns([col]).map_batches(
         sketch_block, batch_format="pyarrow"
-    ).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+    )
+
+    def compress_part(batch: pa.Table) -> pa.Table:
+        """Re-stride one partition's weighted samples by cumulative weight
+        W. Each input row's stride contribution is carried through (every
+        stride is counted exactly once across batches), plus this batch's
+        own W + max(weight) uncertainty."""
+        if batch.num_rows == 0:
+            return batch
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        err_in = int(batch["block_stride"].to_numpy(zero_copy_only=False).sum())
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cumw = np.cumsum(w)
+        total_w = int(cumw[-1])
+        target_rows = max(16, max_samples // max(1, _compress_parts))
+        W = max(1, -(-total_w // target_rows))  # ceil
+        targets = np.arange(W, total_w + 1, W, dtype=np.int64)
+        idx = np.unique(
+            np.append(np.searchsorted(cumw, targets, side="left"), len(v) - 1)
+        )
+        new_w = np.diff(np.concatenate([[0], cumw[idx]])).astype(np.int64)
+        stride = np.zeros(len(idx), np.int64)
+        stride[0] = err_in + W + int(w.max())
+        return pa.table(
+            {
+                "value": pa.array(v[idx], pa.float64()),
+                "weight": pa.array(new_w, pa.int64()),
+                "block_stride": pa.array(stride, pa.int64()),
+            }
+        )
+
+    _compress_parts = 1
+    partials = partials.materialize()  # sketch rows only (≈ #blocks/eps)
+    if partials.count() > max_samples:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        _compress_parts = max(2, min(2 * cpus, partials.count() // 4096))
+        partials = partials.repartition(_compress_parts).map_batches(
+            compress_part, batch_format="pyarrow", batch_size=None
+        )
+
+    vals_l, w_l, s_l = [], [], []
+    for b in partials.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
         vals_l.append(b["value"].to_numpy(zero_copy_only=False))
         w_l.append(b["weight"].to_numpy(zero_copy_only=False))
         s_l.append(int(b["block_stride"].to_numpy(zero_copy_only=False).sum()))
@@ -470,6 +523,8 @@ def approx_quantiles(
     col: str,
     qs: "list[float]",
     eps: float = 0.01,
+    *,
+    max_samples: int = 1 << 20,
 ) -> "pa.Table":
     """Approximate quantiles from the mergeable block sketch — (q, value,
     rank_err_bound) rows; the returned value is an actual data value whose
@@ -477,7 +532,7 @@ def approx_quantiles(
     quantile_disc target rank ceil(q·n). One streaming pass, no sort, no
     full materialization — the 100-TB default that ``exact_quantiles``
     is the verification baseline for."""
-    vals, cumw, n, err = _sketch_samples(ds, col, eps)
+    vals, cumw, n, err = _sketch_samples(ds, col, eps, max_samples=max_samples)
     if n == 0:
         return pa.table(
             {
@@ -505,6 +560,8 @@ def quantiles_by_sketch(
     col: str,
     qs: "list[float]",
     eps: float = 0.01,
+    *,
+    max_samples: int = 1 << 20,
 ) -> "pa.Table":
     """EXACT quantiles (quantile_disc semantics, same output as
     ``exact_quantiles``) WITHOUT a global sort: sketch → bracket → refine.
@@ -520,7 +577,7 @@ def quantiles_by_sketch(
     """
     import ray
 
-    vals, cumw, n, err = _sketch_samples(ds, col, eps)
+    vals, cumw, n, err = _sketch_samples(ds, col, eps, max_samples=max_samples)
     if n == 0:
         return pa.table(
             {"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())}

@@ -155,3 +155,43 @@ class TestIntervalJoinShuffle:
             pd.DataFrame({"interval_id": [7], "lo": [5.0], "hi": [5.0]})
         )  # hi <= lo: dropped
         assert interval_join_shuffle(pts, ivs).count() == 0
+
+
+class TestSketchCompression:
+    """Forced intermediate compression (max_samples tiny): the 10^6-block
+    scale path. The rank bound must still hold (it grows by the re-stride
+    W + max input weight per compressed partition, accounted exactly) and
+    the sketch-refine exact path must still equal exact_quantiles."""
+
+    def test_bound_holds_under_compression(self, ray_session):
+        from osmptparser_ray.stages.relational import approx_quantiles
+
+        rng = np.random.default_rng(13)
+        data = rng.normal(size=25_000) * 10
+        ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(30)
+        out = approx_quantiles(ds, "x", QS, eps=0.01, max_samples=200)
+        srt = np.sort(data)
+        n = len(srt)
+        errs = out["rank_err_bound"].to_pylist()
+        assert max(errs) > int(0.01 * n) + 30  # compression really engaged
+        for q, v, err in zip(out["q"].to_pylist(), out["value"].to_pylist(), errs):
+            target = min(max(int(np.ceil(q * n)), 1), n)
+            r_lo = int(np.searchsorted(srt, v, side="left")) + 1
+            r_hi = int(np.searchsorted(srt, v, side="right"))
+            dist = 0 if r_lo <= target <= r_hi else min(
+                abs(target - r_lo), abs(target - r_hi)
+            )
+            assert dist <= err, (q, v, target, err)
+
+    def test_exact_refine_survives_compression(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            exact_quantiles,
+            quantiles_by_sketch,
+        )
+
+        rng = np.random.default_rng(14)
+        data = rng.integers(0, 500, 20_000).astype(np.float64)
+        ds = rd.from_pandas(pd.DataFrame({"x": data})).repartition(25).materialize()
+        got = quantiles_by_sketch(ds, "x", QS, eps=0.02, max_samples=150)
+        want = exact_quantiles(ds, "x", QS)
+        assert got["value"].to_pylist() == want["value"].to_pylist()

@@ -657,56 +657,83 @@ def interval_join_shuffle(
     *,
     cell_width: "float | None" = None,
     salt: int = 1,
+    banding: str = "auto",
 ) -> "rd.Dataset":
     """Big-big range join: BOTH sides are Datasets — (point_id,
     interval_id) for every ``lo <= value < hi`` pair.
 
     Physical plan (the 1-D ``pip_join`` shuffle pattern): intervals are
     replicated to every value cell they span (vectorized repeat/cumsum
-    per batch), points band to their single cell, and an inner hash-join
-    on the cell key co-locates candidates; the exact half-open filter
-    runs vectorized per joined batch. A point lives in exactly ONE cell,
-    so each matching pair is produced exactly once — no dedup pass.
+    per batch), points band to their cell, and an inner hash-join on the
+    cell key co-locates candidates; the exact half-open filter runs
+    vectorized per joined batch. Each matching pair is produced exactly
+    once (a point lives in exactly one cell per scale, and an interval is
+    banded at exactly one scale) — no dedup pass.
 
-    ``cell_width`` defaults to the MEAN interval width (one tiny partial
-    aggregate over the intervals; the width only tunes the replication
-    factor, never correctness). ``salt > 1`` splits each cell's POINTS
-    into ``salt`` join sub-keys and replicates that cell's interval rows
-    to each — the hot-cell treatment shared with ``pip_join``.
+    ``banding``:
+    * ``"single"`` — one cell width (``cell_width`` or the MEAN interval
+      width from one tiny partial aggregate). Replication ≈
+      width/cell_width per interval: right for unimodal widths, degrades
+      when a few intervals span the domain.
+    * ``"multiscale"`` — each interval bands at its OWN scale
+      ``s = floor(log2(width))`` with cell width ``2^(s+1)``, so EVERY
+      interval covers ≤ 2 cells regardless of the width mix; points
+      replicate once per OCCUPIED scale (computed exactly by the stats
+      pass — ≤ 64 scales possible, few in practice).
+    * ``"auto"`` (default) — multiscale when the stats pass sees
+      max_width > 32 × mean_width, else single.
 
-    Partitioning assumption: per-interval replication ≈ width/cell_width
-    stays O(1) for unimodal widths; a few domain-spanning intervals
-    belong in the broadcast plan (``interval_join``) or a per-scale band
-    split.
+    ``salt > 1`` splits each cell's POINTS into ``salt`` join sub-keys
+    and replicates that cell's interval rows to each — the hot-cell
+    treatment shared with ``pip_join``.
     """
     from ..util import JOIN_AGG_ARGS, join_partitions
 
-    if cell_width is None:
-        stats = intervals.select_columns([lo_col, hi_col]).map_batches(
-            lambda b: pa.table(
-                {
-                    "w": pa.array(
-                        [
-                            float(
-                                np.maximum(
-                                    b[hi_col].to_numpy(zero_copy_only=False)
-                                    - b[lo_col].to_numpy(zero_copy_only=False),
-                                    0.0,
-                                ).sum()
-                            )
-                        ],
-                        pa.float64(),
-                    ),
-                    "n": pa.array([b.num_rows], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        tot_w, tot_n = float(stats["w"].sum()), int(stats["n"].sum())
-        cell_width = max(tot_w / tot_n, 1e-12) if tot_n else 1.0
-    w = float(cell_width)
+    if banding not in ("auto", "single", "multiscale"):
+        raise ValueError(f"banding must be auto|single|multiscale, got {banding!r}")
 
-    def interval_rows(batch: pa.Table) -> pa.Table:
+    def width_stats(b: pa.Table) -> pa.Table:
+        wv = np.maximum(
+            b[hi_col].to_numpy(zero_copy_only=False)
+            - b[lo_col].to_numpy(zero_copy_only=False),
+            0.0,
+        )
+        pos = wv[wv > 0]
+        scales = (
+            np.unique(np.floor(np.log2(pos)).astype(np.int64))
+            if len(pos)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "w": pa.array([float(pos.sum())], pa.float64()),
+                "wmax": pa.array([float(pos.max()) if len(pos) else 0.0], pa.float64()),
+                "n": pa.array([len(pos)], pa.int64()),
+                "scales": pa.array([scales.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    need_stats = cell_width is None or banding in ("auto", "multiscale")
+    mean_w, max_w, occ_scales = 1.0, 1.0, np.empty(0, np.int64)
+    if need_stats:
+        stats = (
+            intervals.select_columns([lo_col, hi_col])
+            .map_batches(width_stats, batch_format="pyarrow")
+            .to_pandas()
+        )
+        tot_w, tot_n = float(stats["w"].sum()), int(stats["n"].sum())
+        mean_w = max(tot_w / tot_n, 1e-12) if tot_n else 1.0
+        max_w = float(stats["wmax"].max()) if len(stats) else 0.0
+        occ_scales = np.unique(
+            np.concatenate([np.asarray(s, np.int64) for s in stats["scales"]])
+            if len(stats)
+            else np.empty(0, np.int64)
+        )
+    if banding == "auto":
+        banding = "multiscale" if max_w > 32 * mean_w else "single"
+    w = float(cell_width) if cell_width is not None else mean_w
+
+    def interval_rows_single(batch: pa.Table) -> pa.Table:
         iid = batch[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
         lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -724,6 +751,7 @@ def interval_join_shuffle(
         rep = np.repeat(np.arange(total, dtype=np.int64), salt)
         return pa.table(
             {
+                "scale": pa.array(np.zeros(total * salt, np.int64), pa.int64()),
                 "cell": pa.array(cells[rep], pa.int64()),
                 "jsalt": pa.array(
                     np.tile(np.arange(salt, dtype=np.int64), total), pa.int64()
@@ -734,21 +762,72 @@ def interval_join_shuffle(
             }
         )
 
+    def interval_rows_multiscale(batch: pa.Table) -> pa.Table:
+        iid = batch[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = hi > lo
+        iid, lo, hi = iid[valid], lo[valid], hi[valid]
+        sc = np.floor(np.log2(hi - lo)).astype(np.int64)
+        cw = np.exp2((sc + 1).astype(np.float64))
+        c0 = np.floor(lo / cw).astype(np.int64)
+        c1 = np.floor(np.nextafter(hi, -np.inf) / cw).astype(np.int64)
+        cnt = c1 - c0 + 1  # always 1 or 2: width <= cell width at own scale
+        total = int(cnt.sum())
+        k = np.repeat(np.arange(len(iid), dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        cells = c0[k] + within
+        rep = np.repeat(np.arange(total, dtype=np.int64), salt)
+        return pa.table(
+            {
+                "scale": pa.array(sc[k][rep], pa.int64()),
+                "cell": pa.array(cells[rep], pa.int64()),
+                "jsalt": pa.array(
+                    np.tile(np.arange(salt, dtype=np.int64), total), pa.int64()
+                ),
+                interval_id: pa.array(iid[k][rep], pa.int64()),
+                "_lo": pa.array(lo[k][rep], pa.float64()),
+                "_hi": pa.array(hi[k][rep], pa.float64()),
+            }
+        )
+
+    scales_arr = occ_scales  # broadcast via closure: ≤ 64 int64s
+
     def point_rows(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         pid = batch[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
-        cells = np.floor(v / w).astype(np.int64)
         ps = (
             (pid.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
         ).astype(np.int64) % salt
+        if banding == "single":
+            return pa.table(
+                {
+                    "scale": pa.array(np.zeros(len(v), np.int64), pa.int64()),
+                    "cell": pa.array(np.floor(v / w).astype(np.int64), pa.int64()),
+                    "jsalt": pa.array(ps, pa.int64()),
+                    point_id: pa.array(pid, pa.int64()),
+                    "_v": pa.array(v, pa.float64()),
+                }
+            )
+        # multiscale: one probe row per OCCUPIED scale
+        ns = len(scales_arr)
+        cw = np.exp2((scales_arr + 1).astype(np.float64))  # (ns,)
+        cells = np.floor(v[None, :] / cw[:, None]).astype(np.int64)  # (ns, n)
         return pa.table(
             {
-                "cell": pa.array(cells, pa.int64()),
-                "jsalt": pa.array(ps, pa.int64()),
-                point_id: pa.array(pid, pa.int64()),
-                "_v": pa.array(v, pa.float64()),
+                "scale": pa.array(np.repeat(scales_arr, len(v)), pa.int64()),
+                "cell": pa.array(cells.ravel(), pa.int64()),
+                "jsalt": pa.array(np.tile(ps, ns), pa.int64()),
+                point_id: pa.array(np.tile(pid, ns), pa.int64()),
+                "_v": pa.array(np.tile(v, ns), pa.float64()),
             }
         )
+
+    interval_rows = (
+        interval_rows_multiscale if banding == "multiscale" else interval_rows_single
+    )
 
     # an all-empty side crashes the Acero join ("No match for key field…"
     # — the empty-block hazard from NOTES_ROUND3, and a schema-ful empty
@@ -769,7 +848,7 @@ def interval_join_shuffle(
         right,
         join_type="inner",
         num_partitions=join_partitions(),
-        on=("cell", "jsalt"),
+        on=("scale", "cell", "jsalt"),
         aggregator_ray_remote_args=JOIN_AGG_ARGS,
     )
 

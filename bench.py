@@ -145,12 +145,30 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
         _ = n
 
+    # round-4 operators: timed but kept OUT of the headline total so the
+    # BENCH_r{N} series stays comparable across rounds (9-query total)
+    extra = {}
+    for name in (
+        "topk_per_group",
+        "quantile_sketch",
+        "approx_quantiles",
+        "interval_join_shuffle",
+    ):
+        t0 = time.perf_counter()
+        res = q[name](sf_dir)
+        import ray.data as rd
+
+        n = res.count() if isinstance(res, rd.Dataset) else len(res)
+        extra[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
     total = round(sum(queries.values()), 3)
     return {
         "metric": "spatial-join output rows/sec (stop->route PIP + kNN) + operator bench total sec",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "extra_queries": extra,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "flagship": {

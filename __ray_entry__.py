@@ -340,6 +340,17 @@ def _q_quantile_sketch(sf_dir: str):
     return quantiles_by_sketch(li, "l_quantity", [0.1, 0.25, 0.5, 0.9, 0.99], eps=0.02)
 
 
+def _q_quantiles_per_group(sf_dir: str):
+    """Per-group exact quantiles (round-4): one sort by (group, value) +
+    per-block RLE summaries + metadata rank mapping — the grouped twin of
+    exact_quantiles with zero per-group UDFs. Oracle: GROUP BY
+    quantile_disc."""
+    from osmptparser_ray.stages.relational import quantiles_per_group
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return quantiles_per_group(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.9])
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Purely approximate quantiles (round-4): one streaming pass, no
     sort, no refine collect — the 100-TB monitoring default. Output
@@ -1168,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_shuffle": _q_interval_join_shuffle,
         "exact_quantiles": _q_exact_quantiles,
         "quantile_sketch": _q_quantile_sketch,
+        "quantiles_per_group": _q_quantiles_per_group,
         "approx_quantiles": _q_approx_quantiles,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
@@ -1291,6 +1303,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
             "UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem "
             "UNION ALL SELECT 0.99, quantile_disc(l_quantity, 0.99) FROM lineitem)"
+        ),
+        "quantiles_per_group": (
+            'SELECT "group", q, value FROM ('
+            "SELECT l_returnflag AS \"group\", 0.25 AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT l_returnflag, 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT l_returnflag, 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem GROUP BY l_returnflag)"
         ),
         # quantile_sketch: sketch→bracket→refine is EXACT (quantile_disc
         # semantics) — same oracle as exact_quantiles. approx_quantiles

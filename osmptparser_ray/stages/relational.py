@@ -861,3 +861,115 @@ def interval_join_shuffle(
         return out.select([point_id, interval_id])
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def quantiles_per_group(
+    ds: "rd.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: "list[float]",
+) -> "pa.Table":
+    """EXACT per-group quantiles (quantile_disc semantics) — (group, q,
+    value) rows; the training-data "per-domain score percentiles" staple.
+
+    Physical plan (sort-scan, round-4 — the grouped twin of
+    ``exact_quantiles``): ONE distributed sort by (group, value); blocks
+    of the sorted dataset are globally ordered, so a group's rows form a
+    contiguous GLOBAL index range. Per-block run-length summaries
+    (vectorized, O(runs) rows to the driver) give every group's global
+    start offset and total; each target rank then maps to a global row
+    index, a block via the blocks' row-count METADATA, and a local
+    offset — only rank-holding blocks are fetched, never the column.
+    Driver work is numpy over (#runs + #groups·#qs) arrays — no
+    per-group Python loop, no per-group UDF anywhere.
+    """
+    import ray
+
+    def _empty(group_type) -> pa.Table:
+        return pa.table(
+            {
+                "group": pa.array([], group_type),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+
+    sorted_ds = (
+        ds.select_columns([group_col, value_col])
+        .sort([group_col, value_col])
+        .materialize()
+    )
+    bundles = list(sorted_ds.iter_internal_ref_bundles())
+    block_refs, counts = [], []
+    for b in bundles:
+        for ref, meta in zip(b.block_refs, b.metadata):
+            if meta.num_rows:
+                block_refs.append(ref)
+                counts.append(meta.num_rows)
+    if not block_refs:
+        return _empty(pa.string())
+    block_cum = np.cumsum(np.asarray(counts, np.int64))
+    block_start = block_cum - np.asarray(counts, np.int64)
+
+    def _blk(block) -> pa.Table:
+        if isinstance(block, pd.DataFrame):
+            return pa.Table.from_pandas(block, preserve_index=False)
+        return block
+
+    @ray.remote
+    def rle(block):
+        g = _blk(block)[group_col].to_numpy(zero_copy_only=False)
+        n = len(g)
+        is_new = np.ones(n, bool)
+        is_new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(is_new)
+        cnts = np.diff(np.append(starts, n))
+        return g[starts], cnts.astype(np.int64)
+
+    parts = ray.get([rle.remote(r) for r in block_refs])
+    run_groups = np.concatenate([p[0] for p in parts])
+    run_counts = np.concatenate([p[1] for p in parts])
+    # merge runs split across block boundaries (groups stay contiguous
+    # after the global sort)
+    is_new = np.ones(len(run_groups), bool)
+    is_new[1:] = run_groups[1:] != run_groups[:-1]
+    grp_vals = run_groups[is_new]
+    grp_id_of_run = np.cumsum(is_new) - 1
+    grp_totals = np.bincount(grp_id_of_run, weights=run_counts).astype(np.int64)
+    grp_starts = np.cumsum(grp_totals) - grp_totals  # global row index
+
+    # target global row index per (group, q): start_g + (ceil(q·n_g)−1)
+    nq = len(qs)
+    q_arr = np.asarray(qs, np.float64)
+    local = np.ceil(q_arr[None, :] * grp_totals[:, None]).astype(np.int64) - 1
+    np.clip(local, 0, (grp_totals - 1)[:, None], out=local)
+    gidx = (grp_starts[:, None] + local).ravel()  # group-major, q within
+
+    # map to (block, local offset) via metadata
+    blk_of = np.searchsorted(block_cum, gidx, side="right")
+    loc_of = gidx - block_start[blk_of]
+
+    @ray.remote
+    def pick(block, locs):
+        v = _blk(block)[value_col].to_numpy(zero_copy_only=False)
+        return v[np.asarray(locs, np.int64)]
+
+    per_block: dict[int, list[int]] = {}
+    for i, b in enumerate(blk_of.tolist()):
+        per_block.setdefault(b, []).append(i)
+    fetched = {
+        b: pick.remote(block_refs[b], loc_of[idxs])
+        for b, idxs in per_block.items()
+    }
+    values = np.empty(len(gidx), np.float64)
+    for b, idxs in per_block.items():
+        values[np.asarray(idxs, np.int64)] = ray.get(fetched[b])
+
+    group_out = pa.array(np.repeat(grp_vals, nq))
+    return pa.table(
+        {
+            "group": group_out,
+            "q": pa.array(np.tile(q_arr, len(grp_vals)), pa.float64()),
+            "value": pa.array(values, pa.float64()),
+        }
+    )

@@ -281,3 +281,61 @@ class TestIntervalJoinMultiscale:
         c0 = np.floor(batch["lo"].to_numpy() / cw)
         c1 = np.floor(np.nextafter(batch["hi"].to_numpy(), -np.inf) / cw)
         assert ((c1 - c0 + 1) <= 2).all()
+
+
+class TestQuantilesPerGroup:
+    """quantiles_per_group: exact per-group quantile_disc via one sort +
+    RLE block summaries + metadata rank mapping (the grouped twin of
+    exact_quantiles)."""
+
+    @staticmethod
+    def _reference(df, qs):
+        rows = []
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            for q in qs:
+                r = min(max(int(np.ceil(q * len(v))), 1), len(v)) - 1
+                rows.append((g, q, float(v[r])))
+        return sorted(rows)
+
+    def _got(self, ds, qs):
+        from osmptparser_ray.stages.relational import quantiles_per_group
+
+        out = quantiles_per_group(ds, "g", "v", qs)
+        return sorted(
+            zip(out["group"].to_pylist(), out["q"].to_pylist(), out["value"].to_pylist())
+        )
+
+    def test_random_many_groups(self, ray_session):
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame(
+            {"g": rng.integers(0, 40, 10_000), "v": rng.normal(size=10_000) * 7}
+        )
+        ds = rd.from_pandas(df).repartition(12)
+        qs = [0.1, 0.5, 0.9]
+        assert self._got(ds, qs) == self._reference(df, qs)
+
+    def test_string_groups_spanning_blocks(self, ray_session):
+        rng = np.random.default_rng(32)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["alpha", "beta", "gamma"], 3_000),
+                "v": rng.integers(0, 100, 3_000).astype(float),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(17)
+        qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+        assert self._got(ds, qs) == self._reference(df, qs)
+
+    def test_singleton_groups(self, ray_session):
+        df = pd.DataFrame({"g": [1, 2, 3], "v": [5.0, 1.0, 9.0]})
+        ds = rd.from_pandas(df)
+        assert self._got(ds, [0.5]) == self._reference(df, [0.5])
+
+    def test_empty(self, ray_session):
+        from osmptparser_ray.stages.relational import quantiles_per_group
+
+        ds = rd.from_arrow(
+            pa.table({"g": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+        )
+        assert quantiles_per_group(ds, "g", "v", [0.5]).num_rows == 0

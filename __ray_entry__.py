@@ -663,6 +663,17 @@ def _q_fingerprint(sf_dir: str):
     return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_vocab_top(sf_dir: str):
+    """Corpus vocabulary (round-4): top-50 tokens by frequency with
+    per-batch partial counts (shuffle capped at distinct tokens per
+    batch), groupby-Sum merge, deterministic (cnt desc, token asc)
+    ordering. Oracle: UNNEST(regexp_extract_all) + GROUP BY."""
+    from osmptparser_ray.text.analysis import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_frequencies(ds, "text", top_n=50)
+
+
 def _q_quality_filter(sf_dir: str):
     """Quality gate: docs with ≥ 40 tokens, punct density ≤ 0.05, ≥ 1
     stopword hit — returns surviving doc ids."""
@@ -1194,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_langid,
         "fingerprint": _q_fingerprint,
+        "vocab_top": _q_vocab_top,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
         "duplicate_groups": _q_duplicate_groups,
@@ -1373,6 +1385,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT CAST(nationkey AS BIGINT) AS nationkey FROM ("
             "SELECT c_nationkey AS nationkey FROM customer "
             "UNION ALL SELECT s_nationkey FROM supplier)"
+        ),
+        "vocab_top": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
+            "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 50"
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)"

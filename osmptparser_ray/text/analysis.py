@@ -211,3 +211,50 @@ def quality_filter(
         return batch.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def token_frequencies(
+    ds: rd.Dataset, col: str = "text", top_n: int = 100
+) -> rd.Dataset:
+    """Corpus vocabulary: top-N (token, cnt) by frequency, tokens =
+    lowercased ``TOKEN_RE`` matches — the vocabulary/frequency-analysis
+    staple of a text pipeline.
+
+    Scale shape ("push aggregation partial"): per-batch PARTIAL counts
+    (one compiled-regex findall over the batch's joined text — token
+    class excludes whitespace so doc boundaries can't merge tokens —
+    then one np.unique) cap the shuffle at the batch's DISTINCT tokens;
+    the groupby-Sum merge moves vocab-sized data, never corpus-sized;
+    the final sort runs on the merged vocabulary only. Deterministic
+    ties: cnt desc, token asc.
+    """
+    import re
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        toks = pat.findall(" ".join(texts).lower())
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return merged.sort(["cnt", "token"], descending=[True, False]).limit(top_n)

@@ -260,3 +260,38 @@ class TestQualityFilter:
             rd.from_items(docs), min_tokens=10, max_punct_ratio=0.1, min_stop_hits=1
         ).take_all()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestTokenFrequencies:
+    def test_matches_counter_reference(self, ray_session):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import TOKEN_RE, token_frequencies
+
+        docs = [
+            "the cat sat on the mat",
+            "The CAT ate; the dog_1 slept!",
+            "mat mat mat",
+            "",
+            "punct-only!!! ...",
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+        got = [(r["token"], r["cnt"]) for r in token_frequencies(ds, top_n=4).take_all()]
+        c = Counter(re.compile(TOKEN_RE).findall(" ".join(docs).lower()))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert got == want
+
+    def test_tie_at_limit_boundary_deterministic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import token_frequencies
+
+        # aa/bb/cc/dd all cnt=2: top_n=2 must take aa, bb (token asc)
+        ds = rd.from_pandas(pd.DataFrame({"text": ["aa bb cc dd", "dd cc bb aa"]}))
+        got = [(r["token"], r["cnt"]) for r in token_frequencies(ds, top_n=2).take_all()]
+        assert got == [("aa", 2), ("bb", 2)]

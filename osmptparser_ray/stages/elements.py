@@ -591,7 +591,20 @@ def _build_parser_tables_split(
     (forced-parity tested) — the projections re-apply their kind filter,
     which is a no-op on the pre-split input."""
     rel_raw, way_raw, node_raw = _split_elements_by_kind(elements)
+    return _parser_tables_from_split(rel_raw, way_raw, node_raw, filters, dedup=dedup)
 
+
+def _parser_tables_from_split(
+    rel_raw: rd.Dataset,
+    way_raw: rd.Dataset,
+    node_raw: rd.Dataset,
+    filters: str,
+    *,
+    dedup: bool = False,
+) -> ParserTables:
+    """Shared tail of the split plans: three kind-pre-filtered raw
+    datasets → ParserTables (projections re-apply their kind filter — a
+    no-op on pre-split input)."""
     relations = rel_raw.map_batches(
         partial(_project_relations, filters=filters), batch_format="pyarrow"
     )
@@ -953,3 +966,36 @@ __all__ = [
     "ingest_elements",
     "read_pages",
 ]
+
+
+def parser_tables_from_elements_parquet(
+    elements_dir: str, filters: str, *, dedup: bool = False
+) -> ParserTables:
+    """ParserTables straight from an ``ingest_elements`` /
+    ``resumable_ingest`` parquet checkpoint — the at-scale path for
+    corpora too large to pin in the object store (round-4 twin of
+    ``plan="split"`` for disk-resident elements).
+
+    Each of the three passes is its OWN ``read_parquet`` with the kind
+    predicate pushed into the scan and ``columns=`` pruned to that kind's
+    projection needs — relations read member columns only, ways read
+    node_refs, nodes read lat/lon; nothing reads the full row. (Predicate
+    pushdown prunes row groups only as far as the writer clustered
+    ``kind``; the column pruning applies regardless.)
+    """
+    import pyarrow.dataset as pds
+
+    def kind_read(kind: str) -> rd.Dataset:
+        return rd.read_parquet(
+            elements_dir,
+            columns=_SPLIT_COLS[kind],
+            filter=pds.field("kind") == kind,
+        )
+
+    return _parser_tables_from_split(
+        kind_read("relation"),
+        kind_read("way"),
+        kind_read("node"),
+        filters,
+        dedup=dedup,
+    )

@@ -193,3 +193,45 @@ class TestSplitPlanParity:
             rb = sorted(getattr(b, name).take_all(), key=lambda r: (r["id"],))
             assert ra == rb, name
             assert len(ra) > 0, name
+
+
+class TestParquetSplitPath:
+    def test_parquet_split_equals_scan3(self, ray_session, tmp_path):
+        """parser_tables_from_elements_parquet (per-kind filtered+pruned
+        reads) must equal build_parser_tables(read_parquet(...)) and still
+        pass the integration goldens."""
+        import ray.data as rd
+
+        from osmptparser_ray.kernel.filters import PTV2
+        from osmptparser_ray.pipelines.ingest import resumable_ingest
+        from osmptparser_ray.sources import synthesize_pages_parquet
+        from osmptparser_ray.stages.assemble import get_public_transports
+        from osmptparser_ray.stages.elements import (
+            build_parser_tables,
+            parser_tables_from_elements_parquet,
+        )
+
+        pages = str(tmp_path / "pages")
+        synthesize_pages_parquet(pages, replicas=2, files=3)
+        elements_dir = str(tmp_path / "elements")
+        resumable_ingest(pages, elements_dir, shards_per_partition=2)
+
+        a = parser_tables_from_elements_parquet(elements_dir, PTV2)
+        b = build_parser_tables(
+            rd.read_parquet(elements_dir), PTV2, materialize=False, plan="scan3"
+        )
+        for name in ("relations", "ways", "nodes"):
+            ra = sorted(getattr(a, name).take_all(), key=lambda r: (r["id"],))
+            rb = sorted(getattr(b, name).take_all(), key=lambda r: (r["id"],))
+            assert ra == rb and len(ra) > 0, name
+
+        rows = sorted(
+            get_public_transports(a, 1500.0).take_all(), key=lambda r: r["id"]
+        )
+        # replicas=2: the fixture pair plus its id-shifted replica
+        assert [r["id"] for r in rows] == [
+            85965,
+            2030162,
+            1000000085965,
+            1000002030162,
+        ]

@@ -674,6 +674,19 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_assign_split(sf_dir: str):
+    """Deterministic train/val/test assignment (round-4): hash-RANGE
+    partitioning of the deterministic_sample hash — disjoint, exhaustive,
+    growth-stable splits; full per-row assignment hash-gated vs the SQL
+    CASE transliteration."""
+    from osmptparser_ray.stages.relational import assign_split
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    return assign_split(
+        ds, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=7
+    )
+
+
 def _q_quality_filter(sf_dir: str):
     """Quality gate: docs with ≥ 40 tokens, punct density ≤ 0.05, ≥ 1
     stopword hit — returns surviving doc ids."""
@@ -1206,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_langid,
         "fingerprint": _q_fingerprint,
         "vocab_top": _q_vocab_top,
+        "assign_split": _q_assign_split,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
         "duplicate_groups": _q_duplicate_groups,
@@ -1385,6 +1399,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT CAST(nationkey AS BIGINT) AS nationkey FROM ("
             "SELECT c_nationkey AS nationkey FROM customer "
             "UNION ALL SELECT s_nationkey FROM supplier)"
+        ),
+        "assign_split": (
+            "SELECT o_orderkey, CASE WHEN h < 3435973836 THEN 'train' "
+            "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT o_orderkey, ((o_orderkey % 2147483648) * 2654435761 + 7) "
+            "% 4294967296 AS h FROM orders)"
         ),
         "vocab_top": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("

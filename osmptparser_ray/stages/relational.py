@@ -973,3 +973,44 @@ def quantiles_per_group(
             "value": pa.array(values, pa.float64()),
         }
     )
+
+
+def assign_split(
+    ds: rd.Dataset,
+    on: str,
+    fractions: "dict[str, float]",
+    *,
+    salt: int = 0,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: adds ``out_col`` with the
+    split name chosen by hash-RANGE partitioning of the same 31-bit-masked
+    multiplicative hash as ``deterministic_sample`` — so the splits are
+    DISJOINT, exhaustive, reproducible across runs/partitionings/engines,
+    and stable under corpus growth (a row's split never depends on other
+    rows). Fraction order follows dict insertion order; fractions must sum
+    to ≤ 1 (any remainder falls into the LAST split).
+
+    SQL parity (same non-negative-key caveat as ``deterministic_sample``):
+    thresholds are ``floor(cum_fraction · 2^32)`` over
+    ``((id % 2147483648) * 2654435761 + salt) % 4294967296``.
+    """
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must be non-empty")
+    cum = np.cumsum([float(fractions[n]) for n in names])
+    if cum[-1] > 1.0 + 1e-9:
+        raise ValueError("fractions sum to > 1")
+    thresholds = np.floor(cum * (1 << 32)).astype(np.int64)
+    thresholds[-1] = 1 << 32  # remainder (incl. rounding) → last split
+    names_arr = np.asarray(names, dtype=object)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((keys % (1 << 31)) * _SAMPLE_MULT + salt) % (1 << 32)
+        idx = np.searchsorted(thresholds, h, side="right")
+        return batch.append_column(
+            out_col, pa.array(names_arr[idx].tolist(), pa.string())
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -339,3 +339,46 @@ class TestQuantilesPerGroup:
             pa.table({"g": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
         )
         assert quantiles_per_group(ds, "g", "v", [0.5]).num_rows == 0
+
+
+class TestAssignSplit:
+    def test_disjoint_exhaustive_stable(self, ray_session):
+        from osmptparser_ray.stages.relational import assign_split
+
+        ids = np.arange(10_000)
+        ds = rd.from_pandas(pd.DataFrame({"id": ids})).repartition(7)
+        out = assign_split(
+            ds, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3
+        ).to_pandas()
+        assert len(out) == len(ids)  # exhaustive, disjoint by construction
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.02
+        assert abs(frac["val"] - 0.1) < 0.01
+        # stability: same row -> same split under a different partitioning
+        out2 = assign_split(
+            rd.from_pandas(pd.DataFrame({"id": ids})).repartition(2),
+            "id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3,
+        ).to_pandas()
+        m = out.set_index("id")["split"]
+        m2 = out2.set_index("id")["split"]
+        assert (m.sort_index() == m2.sort_index()).all()
+
+    def test_remainder_goes_to_last(self, ray_session):
+        from osmptparser_ray.stages.relational import assign_split
+
+        ds = rd.from_pandas(pd.DataFrame({"id": np.arange(1_000)}))
+        out = assign_split(ds, "id", {"a": 0.5, "b": 0.25}).to_pandas()
+        # b absorbs the unassigned 25% remainder
+        assert set(out["split"]) == {"a", "b"}
+        assert (out["split"] == "b").mean() > 0.4
+
+    def test_bad_fractions(self, ray_session):
+        import pytest
+
+        from osmptparser_ray.stages.relational import assign_split
+
+        ds = rd.from_pandas(pd.DataFrame({"id": [1]}))
+        with pytest.raises(ValueError):
+            assign_split(ds, "id", {})
+        with pytest.raises(ValueError):
+            assign_split(ds, "id", {"a": 0.9, "b": 0.3})

@@ -674,6 +674,42 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (round-4): id-ordered token-stream slicing into
+    fixed 256-token training sequences — pack_id/pack_off per document.
+    Physical plan: one sort + per-block token totals + O(#blocks) driver
+    prefix chain + vectorized per-block emit (zero per-group UDFs, no
+    driver row materialization). Oracle: one SQL window prefix sum."""
+    from osmptparser_ray.text import pack_sequences
+    from osmptparser_ray.text.analysis import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(
+        add_token_count(ds).drop_columns(["text"]), budget=256
+    )
+
+
+def _q_word_diversity(sf_dir: str):
+    """Word-diversity quality signal (round-4): distinct-word count and
+    ratio per doc — the repetition detector of a quality stack. Fully
+    vectorized (split_pattern → dictionary_encode → lexsort run count)."""
+    from osmptparser_ray.text import add_word_diversity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_word_diversity(ds).select_columns(
+        ["doc_id", "n_words", "n_distinct", "distinct_ratio"]
+    )
+
+
+def _q_scrub_pattern(sf_dir: str):
+    """Pattern scrubbing (round-4, PII-redaction shape): count + globally
+    replace RE2 matches; full redacted text hash-gated vs DuckDB's RE2."""
+    from osmptparser_ray.text import scrub_pattern
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_pattern(ds).select_columns(["doc_id", "n_scrubbed", "scrubbed"])
+
+
 def _q_assign_split(sf_dir: str):
     """Deterministic train/val/test assignment (round-4): hash-RANGE
     partitioning of the deterministic_sample hash — disjoint, exhaustive,
@@ -1220,6 +1256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "vocab_top": _q_vocab_top,
         "assign_split": _q_assign_split,
+        "pack_sequences": _q_pack_sequences,
+        "word_diversity": _q_word_diversity,
+        "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
         "duplicate_groups": _q_duplicate_groups,
@@ -1414,6 +1453,26 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "pack_sequences": (
+            "SELECT doc_id, n_tokens, "
+            "CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id, "
+            "CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_off FROM ("
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens, "
+            "SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)) "
+            "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"
+        ),
+        "word_diversity": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / "
+            "greatest(len(string_split(text, ' ')), 1) AS distinct_ratio FROM documents"
+        ),
+        "scrub_pattern": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\b(key|order)\\b')) AS BIGINT) AS n_scrubbed, "
+            "regexp_replace(text, '\\b(key|order)\\b', '<SCRUBBED>', 'g') AS scrubbed "
+            "FROM documents"
         ),
         "bpe_token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "

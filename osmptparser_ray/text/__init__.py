@@ -1,5 +1,8 @@
 from .analysis import (
     add_bpe_token_count,
+    add_word_diversity,
+    scrub_pattern,
+    token_frequencies,
     add_fingerprint,
     add_rolling_fingerprints,
     quality_filter,
@@ -17,8 +20,14 @@ from .dedup import (
     verify_jaccard,
 )
 
+from .pack import pack_sequences
+
 __all__ = [
     "add_bpe_token_count",
+    "add_word_diversity",
+    "scrub_pattern",
+    "token_frequencies",
+    "pack_sequences",
     "add_fingerprint",
     "add_rolling_fingerprints",
     "quality_filter",

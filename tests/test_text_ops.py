@@ -295,3 +295,160 @@ class TestTokenFrequencies:
         ds = rd.from_pandas(pd.DataFrame({"text": ["aa bb cc dd", "dd cc bb aa"]}))
         got = [(r["token"], r["cnt"]) for r in token_frequencies(ds, top_n=2).take_all()]
         assert got == [("aa", 2), ("bb", 2)]
+
+
+class TestWordDiversity:
+    def test_matches_duckdb(self, docs_ds, sf_dir):
+        from osmptparser_ray.text import add_word_diversity
+
+        mine = (
+            add_word_diversity(docs_ds)
+            .select_columns(["doc_id", "n_words", "n_distinct", "distinct_ratio"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.sql(
+                "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+                "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, "
+                "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / "
+                "greatest(len(string_split(text, ' ')), 1) AS distinct_ratio "
+                f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert (mine["n_words"] == oracle["n_words"]).all()
+        assert (mine["n_distinct"] == oracle["n_distinct"]).all()
+        assert np.array_equal(mine["distinct_ratio"], oracle["distinct_ratio"])
+
+    def test_edge_cases(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text import add_word_diversity
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 1, "text": "a a a a"},
+                {"doc_id": 2, "text": "a b c d"},
+                {"doc_id": 3, "text": ""},
+                {"doc_id": 4, "text": "x  y"},  # double space → empty word
+            ]
+        )
+        rows = {r["doc_id"]: r for r in add_word_diversity(ds).take_all()}
+        assert rows[1]["n_words"] == 4 and rows[1]["n_distinct"] == 1
+        assert rows[2]["n_distinct"] == 4 and rows[2]["distinct_ratio"] == 1.0
+        # split('') == [''] — one (empty) word, matching DuckDB string_split
+        assert rows[3]["n_words"] == 1 and rows[3]["n_distinct"] == 1
+        assert rows[4]["n_words"] == 3 and rows[4]["n_distinct"] == 3
+
+
+class TestScrubPattern:
+    def test_matches_duckdb(self, docs_ds, sf_dir):
+        from osmptparser_ray.text import scrub_pattern
+
+        mine = (
+            scrub_pattern(docs_ds)
+            .select_columns(["doc_id", "n_scrubbed", "scrubbed"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.sql(
+                "SELECT doc_id, "
+                "CAST(len(regexp_extract_all(text, '\\b(key|order)\\b')) AS BIGINT) AS n_scrubbed, "
+                "regexp_replace(text, '\\b(key|order)\\b', '<SCRUBBED>', 'g') AS scrubbed "
+                f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert (mine["n_scrubbed"] == oracle["n_scrubbed"]).all()
+        assert (mine["scrubbed"] == oracle["scrubbed"]).all()
+
+    def test_word_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text import scrub_pattern
+
+        ds = rd.from_items(
+            [{"doc_id": 1, "text": "key keyed order disorder key"}]
+        )
+        row = scrub_pattern(ds).take_all()[0]
+        # only standalone words hit: 'keyed'/'disorder' untouched
+        assert row["n_scrubbed"] == 3
+        assert row["scrubbed"] == "<SCRUBBED> keyed <SCRUBBED> disorder <SCRUBBED>"
+
+
+class TestPackSequences:
+    def test_matches_window_oracle(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from osmptparser_ray.text import pack_sequences
+        from osmptparser_ray.text.analysis import add_token_count
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        mine = (
+            pack_sequences(add_token_count(ds).drop_columns(["text"]), budget=256)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.sql(
+                "SELECT doc_id, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id, "
+                "CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_off FROM ("
+                "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens, "
+                "SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)) "
+                "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum "
+                f"FROM '{sf_dir}/documents.parquet') ORDER BY doc_id"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert (mine["pack_id"].values == oracle["pack_id"].values).all()
+        assert (mine["pack_off"].values == oracle["pack_off"].values).all()
+
+    def test_many_blocks_boundary_chain(self, ray_session):
+        """Pack ids must be globally consistent across block boundaries."""
+        import ray.data as rd
+
+        from osmptparser_ray.text import pack_sequences
+
+        n = 1000
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "n_tokens": pa.array([7] * n, pa.int64()),
+                }
+            )
+        ).repartition(13)
+        out = (
+            pack_sequences(ds, budget=100)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        starts = np.arange(n, dtype=np.int64) * 7
+        assert (out["pack_id"].values == starts // 100).all()
+        assert (out["pack_off"].values == starts % 100).all()
+
+    def test_empty_and_invalid(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text import pack_sequences
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        )
+        assert pack_sequences(empty).count() == 0
+        with pytest.raises(ValueError):
+            pack_sequences(empty, budget=0)

@@ -674,6 +674,27 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_running_agg(sf_dir: str):
+    """Per-key running window aggregates (round-4): ROW_NUMBER + running
+    SUM per user ordered by (ts, event_id) — sort-scan with an O(#blocks)
+    integer carry chain, zero per-group UDFs. Values are fixed-point
+    cents (integer prefix sums are associative ⇒ exact cross-block
+    carries ⇒ hash-exact vs the SQL window oracle)."""
+    from osmptparser_ray.stages.relational import running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "v_cents", pa.array(np.floor(v * 100).astype(np.int64), pa.int64())
+        )
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow").drop_columns(["value"])
+    out = running_agg(ds, "user_id", ["ts", "event_id"], "v_cents")
+    return out.select_columns(["event_id", "user_id", "running_n", "running_sum"])
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (round-4): id-ordered token-stream slicing into
     fixed 256-token training sequences — pack_id/pack_off per document.
@@ -1257,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": _q_vocab_top,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
+        "running_agg": _q_running_agg,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1453,6 +1475,14 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "running_agg": (
+            "SELECT event_id, user_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS running_n, "
+            "CAST(SUM(v) OVER w AS BIGINT) AS running_sum FROM ("
+            "SELECT event_id, ts, user_id, CAST(floor(value*100) AS BIGINT) AS v "
+            "FROM events) WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
         ),
         "pack_sequences": (
             "SELECT doc_id, n_tokens, "

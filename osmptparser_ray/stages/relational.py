@@ -1014,3 +1014,138 @@ def assign_split(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def running_agg(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: "list[str]",
+    value_col: str,
+    *,
+    count_out: str = "running_n",
+    sum_out: str = "running_sum",
+) -> rd.Dataset:
+    """Per-key running window aggregates — the SQL
+    ``ROW_NUMBER() / SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` workhorse (cumulative per-user counters,
+    running revenue, position features).
+
+    ``value_col`` must be integer-valued (cast to int64): integer prefix
+    sums are associative, so the cross-block carry chain is EXACT — the
+    reason the driver oracle can hash-match. (A float variant would be
+    order-exact within the engine but not guaranteed bitwise equal to a
+    SQL window sum; cast to fixed-point upstream instead.)
+
+    Physical plan (sort-scan, zero per-group UDFs — the
+    ``topk_per_group`` shape): one distributed sort by
+    ``(key, *order_cols)``; per-block summaries (first/last key with
+    their row counts and value sums) feed an O(#blocks) driver carry
+    chain; a vectorized per-block emit computes run-relative positions
+    and a segmented cumsum, offsetting the first run by its carry.
+
+    Output: input columns + ``count_out`` (1-based row number within
+    key) + ``sum_out`` (inclusive running sum), both int64.
+    """
+    sorted_ds = ds.sort([key_col] + list(order_cols)).materialize()
+
+    block_refs = [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, md in bundle.blocks
+        if md.num_rows is None or md.num_rows > 0
+    ]
+
+    def _blk(block) -> pa.Table:
+        if isinstance(block, pd.DataFrame):
+            return pa.Table.from_pandas(block, preserve_index=False)
+        return block
+
+    def _cols(block: pa.Table):
+        g = block[key_col].to_numpy(zero_copy_only=False)
+        v = np.asarray(
+            block[value_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        return g, v
+
+    @ray.remote
+    def summarize(block):
+        block = _blk(block)
+        if block.num_rows == 0:
+            return None
+        g, v = _cols(block)
+        first, last = g[0], g[-1]
+        m_first = g == first
+        m_last = g == last
+        return {
+            "first": first,
+            "last": last,
+            "n_first": int(m_first.sum()),
+            "n_last": int(m_last.sum()),
+            "sum_first": int(v[m_first].sum()),
+            "sum_last": int(v[m_last].sum()),
+            "single": bool(first == last),
+        }
+
+    summaries = ray.get([summarize.remote(ref) for ref in block_refs])
+
+    # O(#blocks) carry chain: (rows, sum) already emitted for each
+    # block's FIRST key by previous blocks
+    carries: "list[tuple[int, int]]" = []
+    carry_key, carry_n, carry_sum = None, 0, 0
+    for s in summaries:
+        if s is None:
+            carries.append((0, 0))
+            continue
+        hit = carry_key is not None and s["first"] == carry_key
+        off_n, off_sum = (carry_n, carry_sum) if hit else (0, 0)
+        carries.append((off_n, off_sum))
+        if s["single"]:
+            carry_key = s["first"]
+            carry_n = off_n + s["n_first"]
+            carry_sum = off_sum + s["sum_first"]
+        else:
+            carry_key, carry_n, carry_sum = s["last"], s["n_last"], s["sum_last"]
+    del carry_key, carry_n, carry_sum
+
+    @ray.remote
+    def emit(block, off_n: int, off_sum: int) -> pa.Table:
+        block = _blk(block)
+        if block.num_rows == 0:
+            return block.append_column(
+                count_out, pa.array([], pa.int64())
+            ).append_column(sum_out, pa.array([], pa.int64()))
+        g, v = _cols(block)
+        n = len(g)
+        is_new = np.ones(n, bool)
+        is_new[1:] = g[1:] != g[:-1]
+        run_id = np.cumsum(is_new) - 1
+        run_start = np.flatnonzero(is_new)
+        pos = np.arange(n, dtype=np.int64) - run_start[run_id]
+        cs = np.cumsum(v)
+        base = cs[run_start[run_id]] - v[run_start[run_id]]
+        seg = cs - base
+        first_run = run_id == 0
+        pos[first_run] += off_n
+        seg[first_run] += off_sum
+        return block.append_column(
+            count_out, pa.array(pos + 1, pa.int64())
+        ).append_column(sum_out, pa.array(seg, pa.int64()))
+
+    if not block_refs:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        empty = (
+            pa.table({f.name: pa.array([], f.type) for f in base})
+            if base is not None
+            else pa.table({})
+        )
+        return rd.from_arrow(
+            empty.append_column(count_out, pa.array([], pa.int64())).append_column(
+                sum_out, pa.array([], pa.int64())
+            )
+        )
+    out_refs = [
+        emit.remote(ref, carries[i][0], carries[i][1])
+        for i, ref in enumerate(block_refs)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -97,3 +97,84 @@ class TestTopkPerGroup:
         )
         out = topk_per_group(ds, "g", "s", 3)
         assert out.count() == 0
+
+
+class TestRunningAgg:
+    def test_matches_window_oracle(self, ray_session, sf_dir):
+        import duckdb
+
+        from osmptparser_ray.stages.relational import running_agg
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+
+        def add_cents(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "v_cents", pa.array(np.floor(v * 100).astype(np.int64), pa.int64())
+            )
+
+        ds = (
+            ds.map_batches(add_cents, batch_format="pyarrow")
+            .drop_columns(["value"])
+            .repartition(17)
+        )
+        out = (
+            running_agg(ds, "user_id", ["ts", "event_id"], "v_cents")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        oracle = duckdb.sql(
+            "SELECT event_id, CAST(row_number() OVER w AS BIGINT) AS running_n, "
+            "CAST(SUM(v) OVER w AS BIGINT) AS running_sum FROM ("
+            "SELECT event_id, ts, user_id, CAST(floor(value*100) AS BIGINT) AS v "
+            f"FROM '{sf_dir}/events.parquet') WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"
+        ).df()
+        assert (out["running_n"].values == oracle["running_n"].values).all()
+        assert (out["running_sum"].values == oracle["running_sum"].values).all()
+
+    def test_key_spanning_many_blocks(self, ray_session):
+        """One hot key across many blocks: the carry chain must accumulate
+        through consecutive single-key blocks."""
+        from osmptparser_ray.stages.relational import running_agg
+
+        n = 900
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([7] * n + [9] * 30, pa.int64()),
+                    "o": pa.array(range(n + 30), pa.int64()),
+                    "v": pa.array([2] * (n + 30), pa.int64()),
+                }
+            )
+        ).repartition(23)
+        out = (
+            running_agg(ds, "k", ["o"], "v")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        hot = out[out["k"] == 7]
+        assert (hot["running_n"].values == np.arange(1, n + 1)).all()
+        assert (hot["running_sum"].values == 2 * np.arange(1, n + 1)).all()
+        cold = out[out["k"] == 9]
+        assert (cold["running_n"].values == np.arange(1, 31)).all()
+
+    def test_empty_input(self, ray_session):
+        from osmptparser_ray.stages.relational import running_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        )
+        out = running_agg(ds, "k", ["o"], "v")
+        assert out.count() == 0
+        assert "running_sum" in out.schema().names

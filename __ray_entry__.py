@@ -674,6 +674,35 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _anti_join_inputs(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    fkeys = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return cust, fkeys
+
+
+def _q_anti_join(sf_dir: str):
+    """Broadcast anti-join (round-4): customers with no 'F'-status order —
+    distinct keys reduced distributed, broadcast once, NOT-isin filter
+    (zero shuffle; the NOT-IN staple complementing semi_join_broadcast)."""
+    from osmptparser_ray.stages.relational import anti_join
+
+    cust, fkeys = _anti_join_inputs(sf_dir)
+    return anti_join(cust, fkeys, "c_custkey", keys_on="o_custkey", plan="broadcast")
+
+
+def _q_anti_join_shuffle(sf_dir: str):
+    """Big-big anti-join twin (round-4): Bloom prefilter routes definite
+    non-members straight through; only the bloom-positive sliver pays the
+    exact hash left_anti join. Same oracle as the broadcast plan."""
+    from osmptparser_ray.stages.relational import anti_join
+
+    cust, fkeys = _anti_join_inputs(sf_dir)
+    return anti_join(cust, fkeys, "c_custkey", keys_on="o_custkey", plan="shuffle")
+
+
 def _q_running_agg(sf_dir: str):
     """Per-key running window aggregates (round-4): ROW_NUMBER + running
     SUM per user ordered by (ts, event_id) — sort-scan with an O(#blocks)
@@ -1279,6 +1308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
+        "anti_join": _q_anti_join,
+        "anti_join_shuffle": _q_anti_join_shuffle,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1475,6 +1506,14 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "anti_join_shuffle": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
         ),
         "running_agg": (
             "SELECT event_id, user_id, "

@@ -1149,3 +1149,120 @@ def running_agg(
         for i, ref in enumerate(block_refs)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def anti_join(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    *,
+    keys_on: Optional[str] = None,
+    plan: Literal["broadcast", "shuffle"] = "broadcast",
+    fpr: float = 0.01,
+) -> rd.Dataset:
+    """Rows of ``ds`` whose ``on`` key does NOT appear in ``keys`` — the
+    NOT-IN / NOT-EXISTS staple (customers without orders, docs without a
+    blocklist hit). Complements the existing semi-join surface.
+
+    ``plan="broadcast"`` (default — small key side): the distinct key set
+    is reduced DISTRIBUTED (per-block unique → tiny binary blobs; only
+    the deduped set reaches the driver), broadcast once via ``ray.put``,
+    and every batch filters NOT-isin with one ``searchsorted`` — zero
+    shuffle. Same small-side contract as ``broadcast_join``.
+
+    ``plan="shuffle"`` (big-big): a Bloom prefilter (built by OR-merging
+    distributed partial filters, ~1.2 B/key) splits the probe side —
+    bloom-NEGATIVE rows are DEFINITE anti-matches (Bloom filters have no
+    false negatives) and stream straight to the output; only the
+    bloom-positive sliver (true matches + ~fpr of the rest) pays the
+    exact hash ``left_anti`` join against the distinct-key dataset. The
+    probe side is scanned twice (column-pruned) — materialize upstream
+    if the scan is expensive. Both plans return identical rows
+    (parity-tested).
+    """
+    from ray.data.aggregate import Count
+
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    kcol = keys_on or on
+
+    if plan == "broadcast":
+        def key_blob(b: pa.Table) -> pa.Table:
+            u = np.unique(b[kcol].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"blob": pa.array([u.tobytes()], pa.binary())})
+
+        parts = []
+        for b in keys.select_columns([kcol]).map_batches(
+            key_blob, batch_format="pyarrow"
+        ).iter_batches(batch_size=64, batch_format="pyarrow"):
+            for raw in b["blob"].to_pylist():
+                if raw:
+                    parts.append(np.frombuffer(raw, np.int64))
+        key_arr = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        ref = ray.put(key_arr)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            hay = cached_get(ref)
+            vals = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(hay):
+                return batch
+            idx = np.searchsorted(hay, vals)
+            idx[idx >= len(hay)] = len(hay) - 1
+            return batch.filter(pa.array(hay[idx] != vals))
+
+        return ds.map_batches(anti, batch_format="pyarrow")
+
+    if plan != "shuffle":
+        raise ValueError(f"plan must be 'broadcast' or 'shuffle', got {plan!r}")
+
+    from .elements import _bloom_from_id_dataset
+
+    def local_unique(b: pa.Table) -> pa.Table:
+        u = np.unique(b[kcol].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"id": pa.array(u, pa.int64())})
+
+    distinct = (
+        keys.select_columns([kcol])
+        .map_batches(local_unique, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n_keys = distinct.count()
+    if n_keys == 0:
+        return ds
+    bf_ref = ray.put(_bloom_from_id_dataset(distinct, n_keys, fpr))
+
+    def bloom_side(batch: pa.Table, positive: bool) -> pa.Table:
+        bf = cached_get(bf_ref)
+        vals = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = bf.contains(vals)
+        return batch.filter(pa.array(hit if positive else ~hit))
+
+    negatives = ds.map_batches(
+        lambda b: bloom_side(b, False), batch_format="pyarrow"
+    )
+    positives = ds.map_batches(
+        lambda b: bloom_side(b, True), batch_format="pyarrow"
+    ).materialize()
+    # all-empty side crashes the hash join (NOTES_ROUND3 rule) — and with
+    # zero bloom-positives there is nothing left to check exactly anyway
+    if positives.count() == 0:
+        return negatives
+    survivors = positives.join(
+        distinct,
+        join_type="left_anti",
+        num_partitions=join_partitions(),
+        on=(on,),
+        right_on=("id",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    cols = [f.name for f in _schema_fields(ds)]
+    return negatives.select_columns(cols).union(survivors.select_columns(cols))
+
+
+def _schema_fields(ds: rd.Dataset):
+    schema = ds.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", None)
+    return list(base) if base is not None else []

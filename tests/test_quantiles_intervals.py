@@ -13,6 +13,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 
@@ -382,3 +383,50 @@ class TestAssignSplit:
             assign_split(ds, "id", {})
         with pytest.raises(ValueError):
             assign_split(ds, "id", {"a": 0.9, "b": 0.3})
+
+
+class TestApproxDistinct:
+    def test_accuracy_across_cardinalities(self):
+        from osmptparser_ray.stages.relational import hll_estimate, hll_partial
+
+        p = 12
+        sigma = 1.04 / np.sqrt(1 << p)
+        for n in (100, 5_000, 200_000):
+            regs = hll_partial(np.arange(n, dtype=np.int64) * 7919 + 13, p)
+            est = hll_estimate(regs)
+            assert abs(est - n) / n <= 5 * sigma, (n, est)
+
+    def test_merge_is_order_free_max(self):
+        from osmptparser_ray.stages.relational import hll_estimate, hll_partial
+
+        p, n = 10, 30_000
+        vals = np.arange(n, dtype=np.int64)
+        whole = hll_partial(vals, p)
+        pieces = [hll_partial(c, p) for c in np.array_split(vals, 7)]
+        merged = pieces[0]
+        for r in pieces[1:]:
+            merged = np.maximum(merged, r)
+        assert np.array_equal(merged, whole)
+        # duplicates across pieces change nothing
+        dup = np.maximum(merged, hll_partial(vals[: n // 2], p))
+        assert hll_estimate(dup) == hll_estimate(whole)
+
+    def test_dataset_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import approx_distinct
+
+        t = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64) % 3137)})
+        a = approx_distinct(rd.from_arrow(t).repartition(3), "k")
+        b = approx_distinct(rd.from_arrow(t).repartition(19), "k")
+        assert a == b
+        assert abs(a - 3137) / 3137 <= 0.1
+
+    def test_invalid_p(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import approx_distinct
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            approx_distinct(ds, "k", p=2)

@@ -35,12 +35,59 @@ def _pages_path(replicas: int) -> str:
     return path
 
 
+def _host_calibration(num_cpus: int) -> dict:
+    """Hardware-health probe so BENCH numbers are self-interpreting.
+
+    The sandbox host's effective parallel capacity varies by wall-clock
+    hour (hypervisor co-tenancy — observed from +38% per-task CPU
+    inflation at 32 workers up to ~10× in degraded windows, while
+    SINGLE-core speed stays normal). This runs a fixed numpy sort solo
+    and then num_cpus-way parallel, and reports the per-task inflation
+    factor: ~1-1.5 = healthy box, >>2 = the absolute timings in this
+    BENCH record are host-limited and only ratios within the record are
+    meaningful.
+    """
+    from concurrent.futures import ProcessPoolExecutor
+
+    import numpy as np
+
+    a = np.random.default_rng(1).random(2_000_000)
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.sort(a)
+        return time.perf_counter() - t0
+
+    solo = min(one() for _ in range(3))
+    with ProcessPoolExecutor(num_cpus) as ex:
+        times = list(ex.map(_calib_task, [2_000_000] * num_cpus))
+    par = sorted(times)[len(times) // 2]
+    return {
+        "solo_sort_s": round(solo, 3),
+        "parallel_sort_median_s": round(par, 3),
+        "inflation": round(par / solo, 2),
+        "workers": num_cpus,
+    }
+
+
+def _calib_task(n: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(1).random(n)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.sort(a)
+    return time.perf_counter() - t0
+
+
 def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     import __ray_entry__ as entrymod
 
     from osmptparser_ray.pipelines.spatial_join import stop_route_spatial_join
 
     queries: dict[str, float] = {}
+    calibration = _host_calibration(num_cpus)
 
     # -- flagship: pages → PT → PIP + kNN + tiles ---------------------------
     pages = _pages_path(replicas)
@@ -86,6 +133,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
             "queries": {k: round(v, 3) for k, v in queries.items()},
             "sf": sf_dir,
             "num_cpus": num_cpus,
+            "host_calibration": calibration,
             "flagship": {
                 "pages_replicas": replicas,
                 "join_rows": int(join_rows),
@@ -153,6 +201,10 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "quantile_sketch",
         "approx_quantiles",
         "interval_join_shuffle",
+        "running_agg",
+        "anti_join_shuffle",
+        "hll_distinct",
+        "pack_sequences",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)
@@ -171,6 +223,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "extra_queries": extra,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "host_calibration": calibration,
         "flagship": {
             "pages_replicas": replicas,
             "join_rows": int(join_rows),

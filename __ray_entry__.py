@@ -707,6 +707,56 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_hll_group(sf_dir: str):
+    """Grouped HyperLogLog (round-4): distinct users PER EVENT TYPE via
+    per-batch (group, register-blob) partials merged by elementwise max —
+    no shuffle; driver memory O(#groups · 4 KB). Gated like
+    ``hll_distinct``: per-group hll_ok asserts 5σ vs the engine's exact
+    grouped distinct, which hash-matches SQL COUNT(DISTINCT) GROUP BY."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import approx_distinct_per_group
+
+    p = 12
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = approx_distinct_per_group(ds, "event_type", "user_id", p=p)
+    exact = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": t["user_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__n"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    est_map = dict(
+        zip(est["event_type"].to_pylist(), est["approx_distinct"].to_pylist())
+    )
+    bound = 5 * 1.04 / (1 << (p // 2))
+    ok = [
+        abs(est_map.get(g, 0) - n) / max(n, 1) <= bound
+        for g, n in zip(exact["event_type"], exact["n_distinct"])
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(list(exact["event_type"]), pa.string()),
+            "n_distinct": pa.array(
+                [int(x) for x in exact["n_distinct"]], pa.int64()
+            ),
+            "hll_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def _anti_join_inputs(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     fkeys = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
@@ -1344,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "anti_join_shuffle": _q_anti_join_shuffle,
         "hll_distinct": _q_hll_distinct,
+        "hll_distinct_per_group": _q_hll_group,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1548,6 +1599,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": (
             "SELECT 'user_id' AS col, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct, TRUE AS hll_ok FROM events"
+        ),
+        "hll_distinct_per_group": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct, TRUE AS hll_ok FROM events GROUP BY event_type"
         ),
         "anti_join_shuffle": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("

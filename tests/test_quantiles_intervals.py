@@ -430,3 +430,50 @@ class TestApproxDistinct:
         ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError):
             approx_distinct(ds, "k", p=2)
+
+
+class TestApproxDistinctPerGroup:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        from osmptparser_ray.stages.relational import approx_distinct_per_group
+
+        rng = np.random.default_rng(1)
+        n = 60_000
+        t = pa.table(
+            {
+                "g": pa.array((rng.integers(0, 3, n) * 11).astype("int64")).cast(
+                    pa.string()
+                ),
+                "v": pa.array(rng.integers(0, 8000, n), pa.int64()),
+            }
+        )
+        exact = {}
+        for g, v in zip(t["g"].to_pylist(), t["v"].to_pylist()):
+            exact.setdefault(g, set()).add(v)
+        sigma = 1.04 / np.sqrt(1 << 12)
+        outs = []
+        for parts in (4, 13):
+            out = approx_distinct_per_group(
+                rd.from_arrow(t).repartition(parts), "g", "v"
+            )
+            outs.append(out)
+            for g, est in zip(out["g"].to_pylist(), out["approx_distinct"].to_pylist()):
+                e = len(exact[g])
+                assert abs(est - e) / e <= 5 * sigma, (g, e, est)
+        # register merges are order-free maxes → partitioning-invariant
+        assert outs[0].equals(outs[1])
+
+    def test_single_group_matches_global(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            approx_distinct,
+            approx_distinct_per_group,
+        )
+
+        t = pa.table(
+            {
+                "g": pa.array(["x"] * 20_000, pa.string()),
+                "v": pa.array(np.arange(20_000, dtype=np.int64) % 997, pa.int64()),
+            }
+        )
+        grouped = approx_distinct_per_group(rd.from_arrow(t).repartition(5), "g", "v")
+        whole = approx_distinct(rd.from_arrow(t).repartition(5), "v")
+        assert grouped["approx_distinct"].to_pylist() == [int(round(whole))]

@@ -240,3 +240,69 @@ class TestAntiJoin:
         )
         for plan in ("broadcast", "shuffle"):
             assert anti_join(probe, keys, "k", plan=plan).count() == 0, plan
+
+
+class TestChainOperatorsRandomized:
+    """Seeded randomized stress for the sort-scan carry chains: random key
+    skew, random partitioning, pandas reference."""
+
+    def test_running_agg_random(self, ray_session):
+        from osmptparser_ray.stages.relational import running_agg
+
+        for seed, parts in ((0, 3), (1, 11), (2, 29)):
+            rng = np.random.default_rng(seed)
+            n = 4000
+            df = pd.DataFrame(
+                {
+                    "k": rng.integers(0, rng.integers(2, 40), n).astype("int64"),
+                    "o": rng.permutation(n).astype("int64"),
+                    "v": rng.integers(-50, 50, n).astype("int64"),
+                }
+            )
+            ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+            grp = ref.groupby("k", sort=False)
+            ref["running_n"] = grp.cumcount() + 1
+            ref["running_sum"] = grp["v"].cumsum()
+            out = (
+                running_agg(
+                    rd.from_pandas(df.sample(frac=1, random_state=seed)).repartition(
+                        parts
+                    ),
+                    "k",
+                    ["o"],
+                    "v",
+                )
+                .to_pandas()
+                .sort_values(["k", "o"])
+                .reset_index(drop=True)
+            )
+            assert (out["running_n"].values == ref["running_n"].values).all(), seed
+            assert (out["running_sum"].values == ref["running_sum"].values).all(), seed
+
+    def test_pack_sequences_random(self, ray_session):
+        from osmptparser_ray.text import pack_sequences
+
+        for seed, parts, budget in ((0, 5, 64), (1, 17, 1000), (2, 2, 7)):
+            rng = np.random.default_rng(seed)
+            n = 3000
+            df = pd.DataFrame(
+                {
+                    "doc_id": rng.permutation(n).astype("int64"),
+                    "n_tokens": rng.integers(0, 200, n).astype("int64"),
+                }
+            )
+            ref = df.sort_values("doc_id").reset_index(drop=True)
+            start = ref["n_tokens"].cumsum() - ref["n_tokens"]
+            ref["pack_id"] = start // budget
+            ref["pack_off"] = start % budget
+            out = (
+                pack_sequences(
+                    rd.from_pandas(df).repartition(parts),
+                    budget=budget,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert (out["pack_id"].values == ref["pack_id"].values).all(), seed
+            assert (out["pack_off"].values == ref["pack_off"].values).all(), seed

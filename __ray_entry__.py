@@ -707,6 +707,27 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_percentile_filter(sf_dir: str):
+    """Operator COMPOSITION (round-4): percentile-threshold quality gate —
+    token counts → EXACT corpus P50 via the sketch→bracket→refine path
+    (two streaming passes, no global sort) → broadcast scalar filter.
+    The 'drop the bottom half by corpus-relative quality' shape of a
+    training-data pipeline, hash-gated vs a scalar-subquery oracle."""
+    from osmptparser_ray.stages.relational import quantiles_by_sketch
+    from osmptparser_ray.text.analysis import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = add_token_count(ds).drop_columns(["text"]).materialize()
+    thr = quantiles_by_sketch(toks, "n_tokens", [0.5], eps=0.02)["value"][0].as_py()
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_tokens"], thr))
+
+    return toks.map_batches(gate, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
 def _q_hll_group(sf_dir: str):
     """Grouped HyperLogLog (round-4): distinct users PER EVENT TYPE via
     per-batch (group, register-blob) partials merged by elementwise max —
@@ -1395,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_shuffle": _q_anti_join_shuffle,
         "hll_distinct": _q_hll_distinct,
         "hll_distinct_per_group": _q_hll_group,
+        "percentile_filter": _q_percentile_filter,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1603,6 +1625,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_per_group": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct, TRUE AS hll_ok FROM events GROUP BY event_type"
+        ),
+        "percentile_filter": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens FROM t WHERE n_tokens >= "
+            "(SELECT quantile_disc(n_tokens, 0.5) FROM t)"
         ),
         "anti_join_shuffle": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("

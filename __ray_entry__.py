@@ -707,6 +707,31 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_rollup(sf_dir: str):
+    """ROLLUP hierarchy (round-4): order counts + totals at
+    (status, priority) / (status) / () levels. The corpus is aggregated
+    once (finest level); coarser levels re-aggregate the group-count-
+    sized finest result, never the corpus. Integer sums (cents) keep
+    every level hash-exact vs SQL GROUP BY ROLLUP."""
+    from osmptparser_ray.stages.relational import rollup_agg
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents",
+            pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+        )
+
+    return rollup_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        "cents",
+    )
+
+
 def _q_percentile_filter(sf_dir: str):
     """Operator COMPOSITION (round-4): percentile-threshold quality gate —
     token counts → EXACT corpus P50 via the sketch→bracket→refine path
@@ -1417,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "hll_distinct_per_group": _q_hll_group,
         "percentile_filter": _q_percentile_filter,
+        "rollup_agg": _q_rollup,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1631,6 +1657,13 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens FROM documents) "
             "SELECT doc_id, n_tokens FROM t WHERE n_tokens >= "
             "(SELECT quantile_disc(n_tokens, 0.5) FROM t)"
+        ),
+        "rollup_agg": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
         ),
         "anti_join_shuffle": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN ("

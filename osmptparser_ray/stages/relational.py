@@ -17,6 +17,7 @@ from typing import Literal, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -1424,3 +1425,94 @@ def approx_distinct_per_group(
             ),
         }
     )
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    group_cols: "list[str]",
+    value_col: str,
+    *,
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """Hierarchical totals — SQL ``GROUP BY ROLLUP(a, b, …)``: one row set
+    per prefix level (a,b), (a), () with coarser levels labelled
+    ``all_label`` (the drill-down report staple).
+
+    Scale shape: the CORPUS is aggregated exactly once (per-batch partial
+    group_by → one groupby-Sum shuffle at the finest level); every
+    coarser level then re-aggregates the FINEST-LEVEL RESULT — group-
+    count-sized, not corpus-sized — so adding levels costs almost
+    nothing. Counts and sums are integers (``value_col`` cast to int64),
+    keeping every level bit-exact against the SQL oracle regardless of
+    aggregation order.
+
+    Output: ``group_cols`` (string), ``n`` (int64), ``sum_v`` (int64).
+    """
+    from ray.data.aggregate import Sum
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(group_cols + [value_col])
+        t = t.set_column(
+            t.schema.get_field_index(value_col),
+            value_col,
+            pc.cast(t[value_col], pa.int64()),
+        )
+        t = t.append_column("__one", pa.array(np.ones(len(t), np.int64), pa.int64()))
+        g = t.group_by(group_cols).aggregate(
+            [("__one", "sum"), (value_col, "sum")]
+        )
+        return g.rename_columns(group_cols + ["n", "sum_v"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+        .map_batches(
+            lambda t: t.select(group_cols + ["n", "sum_v"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    def fill(level_cols: "list[str]"):
+        missing = [c for c in group_cols if c not in level_cols]
+
+        def f(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in level_cols}
+            for c in missing:
+                cols[c] = pa.array([all_label] * len(t), pa.string())
+            cols["n"] = pc.cast(t["n"], pa.int64())
+            cols["sum_v"] = pc.cast(t["sum_v"], pa.int64())
+            return pa.table({c: cols[c] for c in group_cols + ["n", "sum_v"]})
+
+        return f
+
+    levels = [finest.map_batches(fill(group_cols), batch_format="pyarrow")]
+    for i in range(len(group_cols) - 1, 0, -1):
+        lc = group_cols[:i]
+        lvl = (
+            finest.groupby(lc)
+            .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+            .map_batches(fill(lc), batch_format="pyarrow")
+        )
+        levels.append(lvl)
+    # grand total: two scalars off the (already tiny) finest table
+    tot_n = finest.sum("n")
+    tot_v = finest.sum("sum_v")
+    levels.append(
+        rd.from_arrow(
+            pa.table(
+                {
+                    **{c: pa.array([all_label], pa.string()) for c in group_cols},
+                    "n": pa.array([int(tot_n)], pa.int64()),
+                    "sum_v": pa.array([int(tot_v)], pa.int64()),
+                }
+            )
+        )
+    )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

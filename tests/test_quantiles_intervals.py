@@ -477,3 +477,68 @@ class TestApproxDistinctPerGroup:
         grouped = approx_distinct_per_group(rd.from_arrow(t).repartition(5), "g", "v")
         whole = approx_distinct(rd.from_arrow(t).repartition(5), "v")
         assert grouped["approx_distinct"].to_pylist() == [int(round(whole))]
+
+
+class TestRollupAgg:
+    def test_matches_sql_rollup(self, ray_session, sf_dir):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from osmptparser_ray.stages.relational import rollup_agg
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+
+        def cents(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "cents",
+                pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            )
+
+        out = rollup_agg(
+            ds.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderstatus", "o_orderpriority"],
+            "cents",
+        ).to_pandas()
+        oracle = duckdb.sql(
+            "SELECT COALESCE(o_orderstatus,'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority,'ALL') AS o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v "
+            f"FROM '{sf_dir}/orders.parquet' "
+            "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ).df()
+        cols = ["o_orderstatus", "o_orderpriority", "n", "sum_v"]
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = oracle[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_single_level(self, ray_session):
+        from osmptparser_ray.stages.relational import rollup_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(["a", "a", "b"], pa.string()),
+                    "v": pa.array([1, 2, 10], pa.int64()),
+                }
+            )
+        )
+        out = (
+            rollup_agg(ds, ["g"], "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["g"].tolist() == ["ALL", "a", "b"]
+        assert out["n"].tolist() == [3, 2, 1]
+        assert out["sum_v"].tolist() == [13, 3, 10]
+
+    def test_empty_group_cols_raises(self, ray_session):
+        from osmptparser_ray.stages.relational import rollup_agg
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            rollup_agg(ds, [], "v")

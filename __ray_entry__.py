@@ -707,6 +707,47 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters (round-4): frequent tokens via a
+    mergeable O(capacity) sketch, one streaming pass, no vocabulary
+    shuffle. capacity=16 < corpus vocab forces real truncations; mg_ok
+    asserts the MG theorem live against the engine's exact counts
+    (every summary item: lb ≤ true ≤ lb + err; every token with true
+    count > err present in the summary). The exact top-10 hash-matches
+    the SQL oracle; a broken sketch flips mg_ok and fails the hash."""
+    import re
+
+    from osmptparser_ray.stages.relational import heavy_hitters
+    from osmptparser_ray.text.analysis import TOKEN_RE, token_frequencies
+
+    cap = 16
+    pat = re.compile(TOKEN_RE)
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pat.findall(" ".join(t["text"].to_pylist()).lower())
+        return pa.table({"token": pa.array(words, pa.string())})
+
+    docs = _read(sf_dir, "documents", ["text"])
+    tok_ds = docs.map_batches(toks, batch_format="pyarrow").materialize()
+    summary, err = heavy_hitters(tok_ds, "token", k=cap, capacity=cap)
+
+    exact = token_frequencies(docs, "text", top_n=1 << 30).to_pandas()
+    true_cnt = dict(zip(exact["token"], exact["cnt"]))
+    sk = dict(zip(summary["token"].to_pylist(), summary["lb"].to_pylist()))
+    ok = all(lb <= true_cnt.get(t, 0) <= lb + err for t, lb in sk.items()) and all(
+        t in sk for t, c in true_cnt.items() if c > err
+    )
+
+    top10 = exact.head(10)
+    return pa.table(
+        {
+            "token": pa.array(list(top10["token"]), pa.string()),
+            "cnt": pa.array([int(c) for c in top10["cnt"]], pa.int64()),
+            "mg_ok": pa.array([bool(ok)] * len(top10), pa.bool_()),
+        }
+    )
+
+
 def _q_rollup(sf_dir: str):
     """ROLLUP hierarchy (round-4): order counts + totals at
     (status, priority) / (status) / () levels. The corpus is aggregated
@@ -1443,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_per_group": _q_hll_group,
         "percentile_filter": _q_percentile_filter,
         "rollup_agg": _q_rollup,
+        "heavy_hitters": _q_heavy_hitters,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1657,6 +1699,11 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens FROM documents) "
             "SELECT doc_id, n_tokens FROM t WHERE n_tokens >= "
             "(SELECT quantile_disc(n_tokens, 0.5) FROM t)"
+        ),
+        "heavy_hitters": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
+            "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 10"
         ),
         "rollup_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

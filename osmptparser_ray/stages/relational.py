@@ -1516,3 +1516,96 @@ def rollup_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def mg_partial(values: np.ndarray, capacity: int):
+    """Misra-Gries summary of one batch: (items, lower-bound counts, err).
+
+    Vectorized: one ``np.unique`` for exact in-batch counts, then one
+    truncation — subtract the (capacity+1)-th largest count from all and
+    drop non-positives. ``err`` is the total decrement applied: every
+    tracked item's TRUE in-batch count lies in [count, count + err]."""
+    items, counts = np.unique(values, return_counts=True)
+    counts = counts.astype(np.int64)
+    return _mg_truncate(items, counts, 0, capacity)
+
+
+def _mg_truncate(items, counts, err: int, capacity: int):
+    if len(items) > capacity:
+        t = int(np.partition(counts, -capacity - 1)[-capacity - 1])
+        keep = counts > t
+        items, counts = items[keep], counts[keep] - t
+        err += t
+    return items, counts, err
+
+
+def mg_merge(a, b, capacity: int):
+    """Merge two MG summaries (Agarwal et al. 2012 mergeable-summaries
+    construction): concatenate + sum duplicate items, then one
+    truncation. Error bounds ADD: any item's true count ≤ merged count
+    + a.err + b.err (+ the new truncation's decrement)."""
+    items = np.concatenate([a[0], b[0]])
+    counts = np.concatenate([a[1], b[1]])
+    uitems, inv = np.unique(items, return_inverse=True)
+    ucounts = np.zeros(len(uitems), np.int64)
+    np.add.at(ucounts, inv, counts)
+    return _mg_truncate(uitems, ucounts, a[2] + b[2], capacity)
+
+
+def heavy_hitters(
+    ds: rd.Dataset, col: str, k: int, *, capacity: int = 4096
+) -> "tuple[pa.Table, int]":
+    """Approximate top-k frequent values (heavy hitters) via a mergeable
+    Misra-Gries sketch — the "most frequent tokens / urls / users"
+    staple when the full exact vocabulary shuffle (``token_frequencies``)
+    is the wrong default: shuffle volume here is O(#batches · capacity)
+    counters, one streaming pass, driver memory O(capacity).
+
+    Guarantee (checked live in the ``heavy_hitters`` driver query): for
+    every returned item, lower_bound ≤ true_count ≤ lower_bound + err,
+    and every value with true count > err is present in the summary.
+    Choose ``capacity ≥ n/err_target``; at capacity ≥ #distinct the
+    sketch is exact (err 0).
+
+    Returns (Arrow table (col, lb:int64) — top-k by lb desc then value
+    asc — , err:int).
+    """
+    if capacity < 1 or k < 1:
+        raise ValueError("k and capacity must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        items, counts, err = mg_partial(vals, capacity)
+        # err rides on the FIRST row only, so the driver's total is just
+        # the sum of the err column regardless of how iter_batches
+        # re-slices the partial tables (a truncation implies len==capacity
+        # > 0 rows, so a positive err always has a row to ride on)
+        err_col = np.zeros(len(items), np.int64)
+        if len(items):
+            err_col[0] = err
+        return pa.table(
+            {
+                col: pa.array(items),
+                "lb": pa.array(counts, pa.int64()),
+                "err": pa.array(err_col, pa.int64()),
+            }
+        )
+
+    acc = (np.empty(0, object), np.empty(0, np.int64), 0)
+    batch_err_total = 0
+    for b in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        items = np.asarray(b[col].to_pylist(), object)
+        if not len(items):
+            continue
+        counts = b["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        batch_err_total += int(b["err"].to_numpy(zero_copy_only=False).sum())
+        acc = mg_merge(acc, (items, counts, 0), capacity)
+    items, counts, err = acc
+    err += batch_err_total
+    order = np.lexsort((items, -counts))[:k]
+    return (
+        pa.table({col: pa.array(items[order].tolist()), "lb": pa.array(counts[order], pa.int64())}),
+        int(err),
+    )

@@ -542,3 +542,53 @@ class TestRollupAgg:
         ds = rd.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError):
             rollup_agg(ds, [], "v")
+
+
+class TestHeavyHitters:
+    def test_guarantee_on_zipf(self, ray_session):
+        import collections
+
+        from osmptparser_ray.stages.relational import heavy_hitters
+
+        rng = np.random.default_rng(3)
+        vals = (rng.zipf(1.3, 150_000) % 3000).astype(np.int64)
+        exact = collections.Counter(vals.tolist())
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(9)
+        top, err = heavy_hitters(ds, "v", k=48, capacity=48)
+        assert err < len(vals) // 48 * 4  # additive error stays near n/capacity
+        sk = dict(zip(top["v"].to_pylist(), top["lb"].to_pylist()))
+        for item, lb in sk.items():
+            assert lb <= exact[item] <= lb + err, (item, lb, exact[item], err)
+        for item, c in exact.items():
+            if c > err:
+                assert item in sk, (item, c, err)
+
+    def test_exact_when_capacity_covers_distinct(self, ray_session):
+        import collections
+
+        from osmptparser_ray.stages.relational import heavy_hitters
+
+        rng = np.random.default_rng(4)
+        vals = rng.integers(0, 25, 8000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(6)
+        top, err = heavy_hitters(ds, "v", k=5, capacity=1024)
+        assert err == 0
+        c = collections.Counter(vals.tolist())
+        expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(zip(top["v"].to_pylist(), top["lb"].to_pylist())) == expect
+
+    def test_merge_bound_composes(self):
+        from osmptparser_ray.stages.relational import mg_merge, mg_partial
+
+        rng = np.random.default_rng(5)
+        vals = (rng.zipf(1.5, 50_000) % 400).astype(np.int64)
+        cap = 20
+        whole_items, whole_counts, _ = mg_partial(vals, 1 << 20)  # exact
+        exact = dict(zip(whole_items.tolist(), whole_counts.tolist()))
+        pieces = [mg_partial(c, cap) for c in np.array_split(vals, 7)]
+        acc = pieces[0]
+        for pc_ in pieces[1:]:
+            acc = mg_merge(acc, pc_, cap)
+        items, counts, err = acc
+        for item, lb in zip(items.tolist(), counts.tolist()):
+            assert lb <= exact[item] <= lb + err

@@ -707,6 +707,40 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_percent_rank(sf_dir: str):
+    """percent_rank per key (round-4, composition): running row numbers
+    from the ``running_agg`` sort-scan + per-key totals via one
+    pre-aggregated groupby, broadcast-joined, ratio (rn-1)/(n-1).
+    event_id is unique ⇒ no ties ⇒ rank == row_number, and the ratio of
+    the same two ints is IEEE-identical in both engines (hash-exact)."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import broadcast_join, running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]).map_batches(
+        lambda t: t.append_column(
+            "__one", pa.array(np.ones(len(t), np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    rn = running_agg(ds, "user_id", ["ts", "event_id"], "__one")
+    totals = (
+        ds.groupby("user_id").aggregate(Count(alias_name="n_grp"))
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.subtract(t["running_n"], 1), pa.float64())
+        den = pc.cast(
+            pc.max_element_wise(pc.subtract(t["n_grp"], 1), 1), pa.float64()
+        )
+        return t.append_column("pct_rank", pc.divide(num, den))
+
+    out = broadcast_join(rn, totals, "user_id").map_batches(
+        ratio, batch_format="pyarrow"
+    )
+    return out.select_columns(["event_id", "user_id", "pct_rank"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters (round-4): frequent tokens via a
     mergeable O(capacity) sketch, one streaming pass, no vocabulary
@@ -1485,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_filter": _q_percentile_filter,
         "rollup_agg": _q_rollup,
         "heavy_hitters": _q_heavy_hitters,
+        "percent_rank": _q_percent_rank,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1699,6 +1734,10 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens FROM documents) "
             "SELECT doc_id, n_tokens FROM t WHERE n_tokens >= "
             "(SELECT quantile_disc(n_tokens, 0.5) FROM t)"
+        ),
+        "percent_rank": (
+            "SELECT event_id, user_id, percent_rank() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank FROM events"
         ),
         "heavy_hitters": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("

@@ -1310,15 +1310,18 @@ def _q_raster_vector(sf_dir: str):
 
 def _q_multimodal_image(sf_dir: str):
     """REAL image decode path with a CLOSED-FORM oracle: 32 constant-color
-    PPM(P6) images (color i = ((i*37)%256, (i*59)%256, (i*83)%256)) run
+    images (color i = ((i*37)%256, (i*59)%256, (i*83)%256)) — even ids as
+    PPM(P6), odd ids as PNG (round-4 pure stdlib-zlib codec) — run
     through the actor-pool decode → mean-pool → channel-stats stage with
     fake=False; a constant image's channel means are exactly its color, so
-    the VALUES oracle is provable from the construction. (The fake-decode
-    plumbing variant stays pytest-covered.)"""
+    the VALUES oracle is provable from the construction regardless of
+    container format. (The fake-decode plumbing variant stays
+    pytest-covered.)"""
     import ray.data as rd
 
     from osmptparser_ray.multimodal import (
         MEDIA_SCHEMA,
+        encode_png,
         encode_ppm,
         image_features,
     )
@@ -1327,9 +1330,9 @@ def _q_multimodal_image(sf_dir: str):
     for i in range(32):
         c = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
         img = np.full((64, 64, 3), c, np.uint8)
-        p = encode_ppm(img)
+        p = encode_ppm(img) if i % 2 == 0 else encode_png(img)
         rows["media_id"].append(i)
-        rows["media_type"].append("image/ppm")
+        rows["media_type"].append("image/ppm" if i % 2 == 0 else "image/png")
         rows["payload"].append(p)
         rows["meta_width"].append(64)
         rows["meta_height"].append(64)

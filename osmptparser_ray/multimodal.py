@@ -10,8 +10,10 @@ and tested.
 Codec coverage (``fake=False``):
 * audio — REAL for WAV/PCM via the stdlib ``wave`` module (8/16/32-bit,
   multichannel mixed to mono float32);
-* image — REAL for PPM (P6) and uncompressed 24-bit BMP via pure numpy;
-  PNG/JPEG fall through to PIL when importable, else a clearly-marked
+* image — REAL for PPM (P6), uncompressed 24-bit BMP (pure numpy), and
+  PNG (8-bit gray/RGB/palette/RGBA, all five scanline filters — stdlib
+  zlib + numpy, round 4) with a filter-0 PNG encoder twin; JPEG falls
+  through to PIL when importable, else a clearly-marked
   ``NotImplementedError`` (no image library in this container);
 * video — stubbed (``NotImplementedError``); no container codec.
 ``fake=True`` keeps the deterministic byte-hash-seeded arrays for CI.
@@ -95,12 +97,136 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if bottom_up else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (spec §9): raw is h rows of
+    (1 filter byte + stride bytes). Filters None/Up are fully vectorized;
+    Sub/Average/Paeth recurse along the row (Sub via a mod-256 strided
+    cumsum; Average/Paeth via a per-pixel walk — PNG defines them
+    sequentially, so a vector form doesn't exist)."""
+    out = np.zeros((h, stride), np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: prefix sums per channel offset
+            rec = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8, pure stdlib-zlib + numpy (round-3/4 the only
+    image libs in this container are none — PPM/BMP/PNG are now all real).
+
+    Supports the common web profile: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 6 (RGBA — alpha dropped), non-interlaced.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (filter 0, one IDAT) — the pure-stdlib
+    sink twin of ``_decode_png`` (round-trip tested)."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image(payload: bytes, width: int, height: int, fake: bool) -> np.ndarray:
     """→ (H, W, 3) uint8.
 
-    Real paths: PPM (P6) and uncompressed 24-bit BMP via pure numpy; other
-    formats try PIL when importable. ``fake=True`` keeps the deterministic
-    byte-hash-seeded array (CI path)."""
+    Real paths: PPM (P6), uncompressed 24-bit BMP, and PNG (8-bit
+    gray/RGB/palette/RGBA, stdlib zlib + numpy) — no image library
+    needed; other formats (JPEG) try PIL when importable. ``fake=True``
+    keeps the deterministic byte-hash-seeded array (CI path)."""
     if fake:
         rng = np.random.default_rng(_fake_seed(payload))
         return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -108,11 +234,13 @@ def _decode_image(payload: bytes, width: int, height: int, fake: bool) -> np.nda
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     try:
         from PIL import Image  # absent in this container; real deployments
     except ImportError:
         raise NotImplementedError(
-            "no image library available: only PPM(P6)/BMP decode without PIL"
+            "no image library available: PPM(P6)/BMP/PNG decode without PIL"
         )
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return np.asarray(img, dtype=np.uint8)

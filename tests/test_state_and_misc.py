@@ -274,3 +274,131 @@ class TestRealCodecs:
         assert len(got) == 8  # 8192 samples / 1024 frame_len
         for r in got:
             assert abs(r["rms"] - amp) < 1e-3
+
+
+class TestPngCodec:
+    """Pure stdlib-zlib + numpy PNG decode (round 4): all five scanline
+    filters and all four supported color types, against an independent
+    scalar unfilter reference."""
+
+    @staticmethod
+    def _build_png(w, h, ctype, rows_filtered, plte=None):
+        import struct
+        import zlib
+
+        from osmptparser_ray.multimodal import _PNG_SIG
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        out = _PNG_SIG + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        raw = b"".join(rows_filtered)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    @staticmethod
+    def _ref_unfilter(rows, bpp, stride):
+        import numpy as np
+
+        prev = [0] * stride
+        out = []
+        for f, line in rows:
+            rec = list(line)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    add = 0
+                elif f == 1:
+                    add = a
+                elif f == 2:
+                    add = b
+                elif f == 3:
+                    add = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    add = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (rec[x] + add) & 0xFF
+            out.append(rec)
+            prev = rec
+        return np.array(out, np.uint8)
+
+    def test_roundtrip_filter0(self):
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_image, encode_png
+
+        img = np.random.default_rng(0).integers(0, 256, (23, 17, 3), np.uint8)
+        assert np.array_equal(_decode_image(encode_png(img), 0, 0, fake=False), img)
+
+    def test_all_filters_rgb(self):
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_png
+
+        rng = np.random.default_rng(1)
+        w, h, stride = 7, 5, 21
+        rows = [
+            (f, rng.integers(0, 256, stride).astype(np.uint8).tolist())
+            for f in (0, 1, 2, 3, 4)
+        ]
+        png = self._build_png(w, h, 2, [bytes([f]) + bytes(l) for f, l in rows])
+        expect = self._ref_unfilter(rows, 3, stride).reshape(h, w, 3)
+        assert np.array_equal(_decode_png(png), expect)
+
+    def test_gray_palette_rgba(self):
+        import numpy as np
+
+        from osmptparser_ray.multimodal import _decode_png
+
+        rng = np.random.default_rng(2)
+        w, h = 6, 4
+        g_rows = [
+            (4, rng.integers(0, 256, w).astype(np.uint8).tolist()) for _ in range(h)
+        ]
+        png_g = self._build_png(w, h, 0, [bytes([f]) + bytes(l) for f, l in g_rows])
+        eg = self._ref_unfilter(g_rows, 1, w).reshape(h, w, 1)
+        assert np.array_equal(_decode_png(png_g), np.repeat(eg, 3, axis=2))
+
+        plte = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        p_rows = [
+            (1, rng.integers(0, 256, w).astype(np.uint8).tolist()) for _ in range(h)
+        ]
+        png_p = self._build_png(
+            w, h, 3, [bytes([f]) + bytes(l) for f, l in p_rows], plte=plte
+        )
+        ep = self._ref_unfilter(p_rows, 1, w).reshape(h, w)
+        assert np.array_equal(_decode_png(png_p), plte[ep])
+
+        a_rows = [
+            (2, rng.integers(0, 256, w * 4).astype(np.uint8).tolist())
+            for _ in range(h)
+        ]
+        png_a = self._build_png(w, h, 6, [bytes([f]) + bytes(l) for f, l in a_rows])
+        ea = self._ref_unfilter(a_rows, 4, w * 4).reshape(h, w, 4)
+        assert np.array_equal(_decode_png(png_a), ea[:, :, :3])
+
+    def test_unsupported_raises(self):
+        import numpy as np
+        import pytest as pt
+
+        from osmptparser_ray.multimodal import _decode_png, encode_png
+
+        with pt.raises(ValueError):
+            _decode_png(b"nope")
+        # 16-bit depth rejected
+        img = np.zeros((2, 2, 3), np.uint8)
+        payload = bytearray(encode_png(img))
+        payload[8 + 8 + 8] = 16  # IHDR bit-depth byte
+        with pt.raises((NotImplementedError, Exception)):
+            _decode_png(bytes(payload))

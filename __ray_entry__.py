@@ -707,6 +707,17 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_explode(sf_dir: str):
+    """UNNEST (round-4): embeddings list column → one row per element
+    with carried id + ordinal; the public Arrow-offset explode (repeat/
+    flatten, zero nested to_pylist). 32k rows hash-gated vs
+    unnest + generate_subscripts."""
+    from osmptparser_ray.stages.relational import explode_list
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return explode_list(ds, "embedding", pos_col="pos", out_col="v")
+
+
 def _q_percent_rank(sf_dir: str):
     """percent_rank per key (round-4, composition): running row numbers
     from the ``running_agg`` sort-scan + per-key totals via one
@@ -1523,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": _q_rollup,
         "heavy_hitters": _q_heavy_hitters,
         "percent_rank": _q_percent_rank,
+        "explode_list": _q_explode,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1741,6 +1753,10 @@ def oracle_sql() -> dict[str, str]:
         "percent_rank": (
             "SELECT event_id, user_id, percent_rank() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank FROM events"
+        ),
+        "explode_list": (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
+            "AS pos, unnest(embedding) AS v FROM embeddings"
         ),
         "heavy_hitters": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("

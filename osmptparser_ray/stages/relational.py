@@ -1609,3 +1609,46 @@ def heavy_hitters(
         pa.table({col: pa.array(items[order].tolist()), "lb": pa.array(counts[order], pa.int64())}),
         int(err),
     )
+
+
+def explode_list(
+    ds: rd.Dataset,
+    list_col: str,
+    *,
+    keep_cols: "Optional[list[str]]" = None,
+    pos_col: str = "pos",
+    out_col: str = "value",
+) -> rd.Dataset:
+    """UNNEST a list column into one row per element, carrying
+    ``keep_cols`` and a 0-based ``pos_col`` ordinal — the public form of
+    the Arrow-offset explode used throughout the engine (LSH bands, PIP
+    cover cells, kNN candidates).
+
+    Fully vectorized per batch: ``flatten()`` (slice-safe) for the
+    values, ``np.repeat`` over ``list_value_length`` for the carried
+    columns, ``arange - repeated_starts`` for the ordinal. No
+    ``to_pylist`` of nested data anywhere (BASELINE.md log #8).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[list_col].combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        flat = col.flatten()
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        ends = np.cumsum(counts)
+        pos = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - counts, counts
+        )
+        cols = {}
+        for c in keep_cols if keep_cols is not None else [
+            n for n in batch.schema.names if n != list_col
+        ]:
+            cols[c] = batch[c].combine_chunks().take(pa.array(idx, pa.int64()))
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[out_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -306,3 +306,42 @@ class TestChainOperatorsRandomized:
             )
             assert (out["pack_id"].values == ref["pack_id"].values).all(), seed
             assert (out["pack_off"].values == ref["pack_off"].values).all(), seed
+
+
+class TestExplodeList:
+    def test_values_positions_and_carry(self, ray_session):
+        from osmptparser_ray.stages.relational import explode_list
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "tag": pa.array(["a", "b", "c"], pa.string()),
+                    "xs": pa.array([[10, 11], [], [20, 21, 22]], pa.list_(pa.int64())),
+                }
+            )
+        )
+        out = (
+            explode_list(ds, "xs", out_col="x")
+            .to_pandas()
+            .sort_values(["id", "pos"])
+            .reset_index(drop=True)
+        )
+        assert out["id"].tolist() == [1, 1, 3, 3, 3]
+        assert out["tag"].tolist() == ["a", "a", "c", "c", "c"]
+        assert out["pos"].tolist() == [0, 1, 0, 1, 2]
+        assert out["x"].tolist() == [10, 11, 20, 21, 22]
+
+    def test_null_and_empty_lists_drop(self, ray_session):
+        from osmptparser_ray.stages.relational import explode_list
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 2], pa.int64()),
+                    "xs": pa.array([None, [5]], pa.list_(pa.int64())),
+                }
+            )
+        )
+        out = explode_list(ds, "xs", out_col="x").to_pandas()
+        assert out["id"].tolist() == [2] and out["x"].tolist() == [5]

@@ -707,6 +707,17 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_pivot(sf_dir: str):
+    """PIVOT (round-4): order counts per priority × status as columns —
+    the crosstab runs vectorized inside map_batches (np.add.at on a
+    groups×categories matrix), so the shuffle moves one row per (group,
+    batch), never the corpus and never a per-group UDF."""
+    from osmptparser_ray.stages.relational import pivot_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return pivot_agg(ds, "o_orderpriority", "o_orderstatus", ["F", "O", "P"])
+
+
 def _q_explode(sf_dir: str):
     """UNNEST (round-4): embeddings list column → one row per element
     with carried id + ordinal; the public Arrow-offset explode (repeat/
@@ -1535,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
+        "pivot_agg": _q_pivot,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1757,6 +1769,13 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "pivot_agg": (
+            "SELECT o_orderpriority, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 END),0) AS BIGINT) AS F_v, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 END),0) AS BIGINT) AS O_v, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 END),0) AS BIGINT) AS P_v "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "heavy_hitters": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("

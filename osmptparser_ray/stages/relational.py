@@ -1652,3 +1652,55 @@ def explode_list(
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pivot_agg(
+    ds: rd.Dataset,
+    group_col: str,
+    pivot_col: str,
+    categories: "list[str]",
+    value_col: "Optional[str]" = None,
+) -> rd.Dataset:
+    """PIVOT: one output row per group, one count (or int-sum) column per
+    pivot category — SQL ``SUM(CASE WHEN pivot=cat THEN v END) GROUP BY
+    group`` (the report/feature-matrix staple; categories must be
+    enumerated up front, as in SQL PIVOT ... IN (...)).
+
+    Scale shape: the crosstab happens INSIDE map_batches (vectorized
+    ``np.add.at`` on a (groups-in-batch × categories) matrix), so the
+    groupby-Sum shuffle moves one row per (group, batch) with
+    #categories int columns — never corpus-sized, never a per-group UDF.
+    Rows whose pivot value is outside ``categories`` are ignored
+    (SQL CASE yields NULL). Column names: ``<category>_v``.
+    """
+    from ray.data.aggregate import Sum
+
+    cat_arr = np.asarray(categories, dtype=object)
+    cat_index = {c: i for i, c in enumerate(categories)}
+    out_names = [f"{c}_v" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        enc = g.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        pv = batch[pivot_col].to_numpy(zero_copy_only=False)
+        cidx = np.array([cat_index.get(x, -1) for x in pv], np.int64)
+        if value_col is None:
+            vals = np.ones(len(batch), np.int64)
+        else:
+            vals = np.asarray(
+                batch[value_col].to_numpy(zero_copy_only=False), np.int64
+            )
+        keep = cidx >= 0
+        mat = np.zeros((len(enc.dictionary), len(categories)), np.int64)
+        np.add.at(mat, (codes[keep], cidx[keep]), vals[keep])
+        cols = {group_col: enc.dictionary}
+        for j, name in enumerate(out_names):
+            cols[name] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[Sum(n, alias_name=n) for n in out_names])
+    )

@@ -592,3 +592,51 @@ class TestHeavyHitters:
         items, counts, err = acc
         for item, lb in zip(items.tolist(), counts.tolist()):
             assert lb <= exact[item] <= lb + err
+
+
+class TestPivotAgg:
+    def test_matches_case_oracle(self, ray_session, sf_dir):
+        import duckdb
+
+        from osmptparser_ray.stages.relational import pivot_agg
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+        )
+        out = pivot_agg(
+            ds, "o_orderpriority", "o_orderstatus", ["F", "O", "P"]
+        ).to_pandas()
+        oracle = duckdb.sql(
+            "SELECT o_orderpriority, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN 1 END),0) AS BIGINT) AS F_v, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN 1 END),0) AS BIGINT) AS O_v, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN 1 END),0) AS BIGINT) AS P_v "
+            f"FROM '{sf_dir}/orders.parquet' GROUP BY o_orderpriority"
+        ).df()
+        cols = sorted(out.columns)
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = oracle[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_value_sums_and_unknown_categories(self, ray_session):
+        from osmptparser_ray.stages.relational import pivot_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(["x", "x", "y", "x"], pa.string()),
+                    "p": pa.array(["a", "b", "a", "zzz"], pa.string()),
+                    "v": pa.array([1, 2, 3, 100], pa.int64()),
+                }
+            )
+        ).repartition(2)
+        out = (
+            pivot_agg(ds, "g", "p", ["a", "b"], value_col="v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # 'zzz' ignored (SQL CASE -> NULL)
+        assert out["g"].tolist() == ["x", "y"]
+        assert out["a_v"].tolist() == [1, 3]
+        assert out["b_v"].tolist() == [2, 0]

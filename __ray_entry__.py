@@ -707,6 +707,31 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_sample_k_per_group(sf_dir: str):
+    """Deterministic k-per-group sampling (round-4, composition): the
+    'exactly 3 example orders per priority' shape = topk_per_group over
+    the deterministic_sample hash (ascending) — reproducible across
+    runs/partitionings/engines, zero per-group UDFs."""
+    from osmptparser_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((keys % (1 << 31)) * 2654435761 + 11) % (1 << 32)
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    out = topk_per_group(
+        ds.map_batches(with_hash, batch_format="pyarrow"),
+        "o_orderpriority",
+        "h",
+        3,
+        tiebreak_col="o_orderkey",
+        descending=False,
+    )
+    return out.select_columns(["o_orderpriority", "o_orderkey", "rank"])
+
+
 def _q_pivot(sf_dir: str):
     """PIVOT (round-4): order counts per priority × status as columns —
     the crosstab runs vectorized inside map_batches (np.add.at on a
@@ -1547,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
+        "sample_k_per_group": _q_sample_k_per_group,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1769,6 +1795,13 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "sample_k_per_group": (
+            "SELECT o_orderpriority, o_orderkey, CAST(row_number() OVER w AS BIGINT)"
+            " AS rank FROM (SELECT o_orderkey, o_orderpriority, "
+            "((o_orderkey % 2147483648) * 2654435761 + 11) % 4294967296 AS h "
+            "FROM orders) WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY h, o_orderkey) QUALIFY rank <= 3"
         ),
         "pivot_agg": (
             "SELECT o_orderpriority, "

@@ -1856,7 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
-            "'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+            r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
             ")) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "quality_scores": (

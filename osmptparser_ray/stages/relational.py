@@ -1683,8 +1683,14 @@ def pivot_agg(
         g = batch[group_col]
         enc = g.combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        pv = batch[pivot_col].to_numpy(zero_copy_only=False)
-        cidx = np.array([cat_index.get(x, -1) for x in pv], np.int64)
+        # vectorized category lookup: dictionary-encode the pivot column
+        # (per-row work is one int gather); the python dict lookup runs
+        # only over the batch's DISTINCT pivot values
+        penc = batch[pivot_col].combine_chunks().dictionary_encode()
+        dict_to_cat = np.array(
+            [cat_index.get(x, -1) for x in penc.dictionary.to_pylist()], np.int64
+        )
+        cidx = dict_to_cat[penc.indices.to_numpy(zero_copy_only=False)]
         if value_col is None:
             vals = np.ones(len(batch), np.int64)
         else:

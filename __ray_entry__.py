@@ -707,6 +707,38 @@ def _q_hll_distinct(sf_dir: str):
     )
 
 
+def _q_windowed_topk(sf_dir: str):
+    """Windowed top-k (round-4, composition): top-2 event types per
+    tumbling 6h window by count — window assignment (vectorized) →
+    pre-aggregated groupby → topk_per_group sort-scan over the tiny
+    (window, type) count table. The 'trending items per hour' shape."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        micros = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = micros // (6 * 3600 * 1_000_000)
+        return pa.table(
+            {
+                "window_id": pa.array(w, pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    counts = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+    out = topk_per_group(
+        counts, "window_id", "n", 2, tiebreak_col="event_type", descending=True
+    )
+    return out.select_columns(["window_id", "event_type", "n", "rank"])
+
+
 def _q_sample_k_per_group(sf_dir: str):
     """Deterministic k-per-group sampling (round-4, composition): the
     'exactly 3 example orders per priority' shape = topk_per_group over
@@ -1573,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
         "sample_k_per_group": _q_sample_k_per_group,
+        "windowed_topk": _q_windowed_topk,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1795,6 +1828,13 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "windowed_topk": (
+            "SELECT window_id, event_type, n, CAST(row_number() OVER ("
+            "PARTITION BY window_id ORDER BY n DESC, event_type) AS BIGINT) AS rank "
+            "FROM (SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS window_id, "
+            "event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2) QUALIFY rank <= 2"
         ),
         "sample_k_per_group": (
             "SELECT o_orderpriority, o_orderkey, CAST(row_number() OVER w AS BIGINT)"

@@ -1292,6 +1292,27 @@ def _q_cosine_near_dup(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def _q_distance_join(sf_dir: str):
+    """ST_DWithin self-join (round-4): all customer-point pairs within
+    0.0625° — cell-banded hash join + vectorized refine, no groupby. The
+    planar_deg metric is pure arithmetic over the SAME synthesis formula
+    the SQL oracle evaluates, so pair membership is bit-identical (the
+    haversine twin is pytest-gated vs knn_join parity)."""
+    from osmptparser_ray.spatial.join import distance_join
+
+    pts = _customer_points(sf_dir)
+    out = distance_join(
+        pts,
+        pts,
+        0.0625,  # dyadic: exact in BOTH SQL decimal and float64 — no
+        # 1-ulp threshold ambiguity between engines
+        metric="planar_deg",
+        target_id="point_id",
+        exclude_same_id=True,
+    )
+    return out.select_columns(["point_id", "neighbor_id"])
+
+
 def _q_cell_assign(sf_dir: str):
     """Grid-coordinate assignment at level 12 (SQL-checkable x/y form)."""
     from osmptparser_ray.spatial.cell import lonlat_to_xy
@@ -1606,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_agg": _q_pivot,
         "sample_k_per_group": _q_sample_k_per_group,
         "windowed_topk": _q_windowed_topk,
+        "distance_join": _q_distance_join,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1828,6 +1850,15 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "distance_join": (
+            "WITH p AS (SELECT c_custkey AS id, "
+            "-3.0 + ((c_custkey * 2654435761) % 100000) / 100000.0 * 2.0 AS lat, "
+            "-80.5 + ((c_custkey * 40503) % 100000) / 100000.0 * 2.0 AS lon "
+            "FROM customer) "
+            "SELECT a.id AS point_id, b.id AS neighbor_id FROM p a JOIN p b "
+            "ON a.id <> b.id AND (a.lat-b.lat)*(a.lat-b.lat) + "
+            "(a.lon-b.lon)*(a.lon-b.lon) <= 0.0625*0.0625"
         ),
         "windowed_topk": (
             "SELECT window_id, event_type, n, CAST(row_number() OVER ("

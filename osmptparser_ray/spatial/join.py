@@ -1052,3 +1052,106 @@ def cell_density_smoothed(
         )
 
     return smoothed.map_batches(attach, batch_format="pyarrow")
+
+
+def _dist_refine(batch: pa.Table, radius: float, metric: str, exclude_same_id: bool) -> pa.Table:
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "point_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+    qlat = batch["qlat"].to_numpy(zero_copy_only=False)
+    qlon = batch["qlon"].to_numpy(zero_copy_only=False)
+    tlat = batch["tlat"].to_numpy(zero_copy_only=False)
+    tlon = batch["tlon"].to_numpy(zero_copy_only=False)
+    if metric == "haversine":
+        d = haversine_m_vec(qlat, qlon, tlat, tlon)
+        keep = d <= radius
+    else:  # planar_deg: pure arithmetic — bit-identical to the SQL oracle
+        dlat = qlat - tlat
+        dlon = qlon - tlon
+        d = dlat * dlat + dlon * dlon
+        keep = d <= radius * radius
+    if exclude_same_id:
+        keep &= (
+            batch["qid"].to_numpy(zero_copy_only=False)
+            != batch["tid"].to_numpy(zero_copy_only=False)
+        )
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "point_id": batch["qid"].combine_chunks().filter(mask),
+            "neighbor_id": batch["tid"].combine_chunks().filter(mask),
+            "dist": pa.array(d[keep], pa.float64()),
+        }
+    )
+
+
+def distance_join(
+    queries: rd.Dataset,
+    targets: rd.Dataset,
+    radius: float,
+    *,
+    metric: str = "haversine",
+    level: Optional[int] = None,
+    query_id: str = "point_id",
+    target_id: str = "target_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exclude_same_id: bool = False,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """ALL (query, target) pairs within ``radius`` — ST_DWithin as a
+    distributed join (the uncapped sibling of ``knn_join``; "every stop
+    pair closer than 100 m", "points near any sensor").
+
+    Same physical plan as ``knn_join`` minus the top-k aggregate: targets
+    replicate to their 3×3 cell neighborhood, hash-join with queries on
+    cell (each true pair materializes exactly once — only target copies
+    land in the query's own cell), vectorized per-batch refine. No
+    groupby at all — the output streams straight out of the refine.
+
+    ``metric``: "haversine" (radius in meters; dist = meters) or
+    "planar_deg" (radius in degrees; dist = SQUARED degree distance —
+    pure arithmetic, bit-identical to a SQL oracle, used by the driver
+    gate). ``exclude_same_id`` drops self-pairs for self-joins.
+    """
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    if metric not in ("haversine", "planar_deg"):
+        raise ValueError(f"metric must be 'haversine' or 'planar_deg', got {metric!r}")
+    if level is None:
+        if metric == "haversine":
+            lvl = choose_level_for_radius(radius)
+        else:
+            # Morton lat cell height = 180/2^L degrees; need ≥ radius
+            lvl = max(0, min(28, int(np.floor(np.log2(180.0 / radius)))))
+    else:
+        lvl = level
+    q = queries.map_batches(
+        partial(_query_rows, level=lvl, id_col=query_id, lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    )
+    t = targets.map_batches(
+        partial(_target_rows, level=lvl, id_col=target_id, lat_col=lat_col, lon_col=lon_col),
+        batch_format="pyarrow",
+    )
+    pairs = q.join(
+        t,
+        join_type="inner",
+        num_partitions=num_partitions or join_partitions(),
+        on=("cell",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    return pairs.map_batches(
+        partial(
+            _dist_refine,
+            radius=radius,
+            metric=metric,
+            exclude_same_id=exclude_same_id,
+        ),
+        batch_format="pyarrow",
+    )

@@ -399,3 +399,90 @@ class TestPolyRowsVectorized:
             "ring_lon": pa.array([[], []], pa.list_(pa.float64())),
         })
         assert len(self._got(batch, 8, 2)) == 0
+
+
+class TestDistanceJoin:
+    def test_haversine_matches_brute_force(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import distance_join
+
+        qlat = rng.uniform(-2.3, -2.0, 60)
+        qlon = rng.uniform(-80.1, -79.8, 60)
+        qids = np.arange(60, dtype=np.int64)
+        tlat = rng.uniform(-2.3, -2.0, 200)
+        tlon = rng.uniform(-80.1, -79.8, 200)
+        tids = np.arange(1000, 1200, dtype=np.int64)
+        q = rd.from_arrow(pa.table({"point_id": qids, "lat": qlat, "lon": qlon}))
+        t = rd.from_arrow(pa.table({"target_id": tids, "lat": tlat, "lon": tlon}))
+        out = distance_join(q, t, 1500.0).to_pandas()
+        got = set(zip(out["point_id"], out["neighbor_id"]))
+        want = set()
+        for i, qi in enumerate(qids):
+            d = haversine_m_vec(qlat[i], qlon[i], tlat, tlon)
+            for j in np.flatnonzero(d <= 1500.0):
+                want.add((int(qi), int(tids[j])))
+        assert got == want
+        # distances returned match the kernel haversine
+        for r in out.itertuples():
+            i = int(r.point_id)
+            j = int(r.neighbor_id) - 1000
+            assert r.dist == pytest.approx(
+                haversine_m(qlat[i], qlon[i], tlat[j], tlon[j])
+            )
+
+    def test_self_join_excludes_self(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import distance_join
+
+        lat = rng.uniform(-2.3, -2.0, 80)
+        lon = rng.uniform(-80.1, -79.8, 80)
+        ids = np.arange(80, dtype=np.int64)
+        a = rd.from_arrow(pa.table({"point_id": ids, "lat": lat, "lon": lon}))
+        b = rd.from_arrow(pa.table({"point_id": ids, "lat": lat, "lon": lon}))
+        out = distance_join(
+            a, b, 3000.0, target_id="point_id", exclude_same_id=True
+        ).to_pandas()
+        assert (out["point_id"] != out["neighbor_id"]).all()
+        # symmetric: (a,b) present iff (b,a) present
+        got = set(zip(out["point_id"], out["neighbor_id"]))
+        assert got == {(b_, a_) for a_, b_ in got}
+
+    def test_planar_metric_brute_force(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import distance_join
+
+        lat = rng.uniform(-3.0, -1.0, 100)
+        lon = rng.uniform(-80.5, -78.5, 100)
+        ids = np.arange(100, dtype=np.int64)
+        a = rd.from_arrow(pa.table({"point_id": ids, "lat": lat, "lon": lon}))
+        b = rd.from_arrow(pa.table({"point_id": ids, "lat": lat, "lon": lon}))
+        r = 0.125
+        out = distance_join(
+            a, b, r, metric="planar_deg", target_id="point_id", exclude_same_id=True
+        ).to_pandas()
+        got = set(zip(out["point_id"], out["neighbor_id"]))
+        want = set()
+        for i in range(100):
+            d2 = (lat[i] - lat) ** 2 + (lon[i] - lon) ** 2
+            for j in np.flatnonzero(d2 <= r * r):
+                if j != i:
+                    want.add((int(ids[i]), int(ids[j])))
+        assert got == want
+
+    def test_bad_metric(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import distance_join
+
+        ds = rd.from_arrow(
+            pa.table({"point_id": [1], "lat": [0.0], "lon": [0.0]})
+        )
+        with pytest.raises(ValueError):
+            distance_join(ds, ds, 1.0, metric="euclid")

@@ -1292,6 +1292,61 @@ def _q_cosine_near_dup(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+# planted polygons for polygon_area: integer coords (shoelace cross terms
+# exact in float64 ⇒ any summation order gives the identical value), mixed
+# orientation/convexity incl. an L-shape and a star
+_AREA_POLYS = [
+    (1, [(0, 0), (4, 0), (4, 3), (0, 3)]),                      # CCW rect 12
+    (2, [(0, 0), (0, 5), (5, 5), (5, 0)]),                      # CW square 25
+    (3, [(0, 0), (6, 0), (6, 6), (3, 6), (3, 3), (0, 3)]),      # L-shape
+    (4, [(0, 0), (10, 2), (4, 9)]),                             # triangle
+    (5, [(0, 0), (8, 1), (4, 4), (8, 7), (0, 8), (3, 4)]),      # non-convex
+    (6, [(2, 2), (2, 2), (5, 2), (5, 6), (2, 6)]),              # dup vertex
+]
+
+
+def _q_polygon_area(sf_dir: str):
+    """Shoelace polygon area (round-4, ST_Area analogue): signed area per
+    ring, vectorized (offset flatten + wraparound next index + reduceat).
+    Integer-coordinate planted polygons make every cross term exact in
+    float64, so twice-area and orientation hash-match the SQL window
+    shoelace regardless of summation order."""
+    import ray.data as rd
+
+    from osmptparser_ray.spatial.join import polygon_area
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array([p for p, _ in _AREA_POLYS], pa.int64()),
+                "ring_lats": pa.array(
+                    [[float(y) for _, y in v] for _, v in _AREA_POLYS],
+                    pa.list_(pa.float64()),
+                ),
+                "ring_lons": pa.array(
+                    [[float(x) for x, _ in v] for _, v in _AREA_POLYS],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    out = polygon_area(ds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["area"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "poly_id": t["poly_id"],
+                "twice_area_abs": pa.array(
+                    np.abs(a * 2.0).astype(np.int64), pa.int64()
+                ),
+                "ccw": pa.array((a > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_distance_join(sf_dir: str):
     """ST_DWithin self-join (round-4): all customer-point pairs within
     0.0625° — cell-banded hash join + vectorized refine, no groupby. The
@@ -1628,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_group": _q_sample_k_per_group,
         "windowed_topk": _q_windowed_topk,
         "distance_join": _q_distance_join,
+        "polygon_area": _q_polygon_area,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1850,6 +1906,22 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "polygon_area": (
+            "WITH v(poly_id, idx, x, y) AS (VALUES "
+            + ", ".join(
+                f"({pid}, {i}, {x}, {y})"
+                for pid, verts in _AREA_POLYS
+                for i, (x, y) in enumerate(verts)
+            )
+            + "), e AS (SELECT CAST(poly_id AS BIGINT) AS poly_id, x, y, "
+            "COALESCE(lead(x) OVER w, first_value(x) OVER w) AS xn, "
+            "COALESCE(lead(y) OVER w, first_value(y) OVER w) AS yn "
+            "FROM v WINDOW w AS (PARTITION BY poly_id ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+            "SELECT poly_id, CAST(ABS(SUM(x*yn - xn*y)) AS BIGINT) AS twice_area_abs, "
+            "CAST(CASE WHEN SUM(x*yn - xn*y) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ccw "
+            "FROM e GROUP BY poly_id"
         ),
         "distance_join": (
             "WITH p AS (SELECT c_custkey AS id, "

@@ -33,6 +33,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..kernel.geometry import haversine_m_vec
@@ -1155,3 +1156,52 @@ def distance_join(
         ),
         batch_format="pyarrow",
     )
+
+
+def polygon_area(
+    ds: rd.Dataset,
+    lat_col: str = "ring_lats",
+    lon_col: str = "ring_lons",
+    out: str = "area",
+) -> rd.Dataset:
+    """Signed shoelace area per polygon ring (ST_Area analogue, planar
+    lon/lat units; positive = counter-clockwise). Appends ``out``.
+
+    Fully vectorized across a batch's polygons: Arrow-offset flatten of
+    both ring list columns, a wraparound next-vertex index built from the
+    offsets, one cross-product array, per-ring sums via
+    ``np.add.reduceat``. Rings may repeat or omit the closing vertex
+    (a duplicated close contributes a zero cross term).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        lats = batch[lat_col].combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(lats).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        y = lats.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = (
+            batch[lon_col]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = len(counts)
+        total = int(counts.sum())
+        if total == 0:
+            return batch.append_column(out, pa.array([0.0] * n, pa.float64()))
+        ends = np.cumsum(counts) - 1
+        starts = ends - counts + 1
+        nxt = np.arange(total, dtype=np.int64) + 1
+        nz = counts > 0
+        nxt[ends[nz]] = starts[nz]
+        cross = x * y[nxt] - x[nxt] * y
+        sums = np.zeros(n, np.float64)
+        sums[nz] = np.add.reduceat(cross, starts[nz])[: int(nz.sum())]
+        # reduceat quirk: equal consecutive indices (empty rings) need the
+        # nz mask above; starts[nz] is strictly increasing so this is safe
+        return batch.append_column(out, pa.array(sums / 2.0, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

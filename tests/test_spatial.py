@@ -486,3 +486,56 @@ class TestDistanceJoin:
         )
         with pytest.raises(ValueError):
             distance_join(ds, ds, 1.0, metric="euclid")
+
+
+class TestPolygonArea:
+    def test_known_shapes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polygon_area
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "ring_lats": pa.array(
+                        [[0, 0, 1, 1], [0, 1, 1, 0], [0, 0, 2, 2, 1, 1], [0], []],
+                        pa.list_(pa.float64()),
+                    ),
+                    "ring_lons": pa.array(
+                        [[0, 1, 1, 0], [0, 0, 1, 1], [0, 2, 2, 1, 1, 0], [5], []],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        ).repartition(2)
+        out = (
+            polygon_area(ds)
+            .to_pandas()
+            .sort_values("poly_id")
+            .reset_index(drop=True)
+        )
+        # CCW unit square +1, CW square -1, L-shape +3, degenerate 0, empty 0
+        assert out["area"].tolist() == [1.0, -1.0, 3.0, 0.0, 0.0]
+
+    def test_closing_vertex_optional(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polygon_area
+
+        open_ring = [[0, 0, 2, 2]], [[0, 2, 2, 0]]
+        closed_ring = [[0, 0, 2, 2, 0]], [[0, 2, 2, 0, 0]]
+        for lats, lons in (open_ring, closed_ring):
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "poly_id": pa.array([1], pa.int64()),
+                        "ring_lats": pa.array(lats, pa.list_(pa.float64())),
+                        "ring_lons": pa.array(lons, pa.list_(pa.float64())),
+                    }
+                )
+            )
+            out = polygon_area(ds).take_all()
+            assert out[0]["area"] == 4.0

@@ -1347,6 +1347,68 @@ def _q_polygon_area(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+# planted polylines whose segment vectors are Pythagorean triples — every
+# segment length is an exact integer, so even float sqrt+sum is exact in
+# ANY summation order (IEEE sqrt is correctly rounded ⇒ exact on perfect
+# squares) and the SQL oracle hash-matches bit-for-bit
+_LEN_TRIPLES = [(3, 4), (5, 12), (8, 15), (20, 21), (7, 24), (9, 12), (12, 16), (6, 8)]
+
+
+def _len_polylines():
+    polys = []
+    for pid in range(1, 7):
+        deltas = [
+            _LEN_TRIPLES[(pid * 3 + j) % len(_LEN_TRIPLES)] for j in range(pid + 1)
+        ]
+        x, y = pid, 2 * pid
+        verts = [(x, y)]
+        for dx, dy in deltas:
+            sign = -1 if (pid + len(verts)) % 2 else 1
+            x, y = x + sign * dx, y + dy
+            verts.append((x, y))
+        polys.append((pid, verts))
+    polys.append((7, [(0, 0)]))  # single vertex → length 0
+    return polys
+
+
+def _q_polyline_length(sf_dir: str):
+    """Polyline length (round-4, ST_Length analogue): per-row sum of
+    consecutive-vertex segment lengths, vectorized (flatten + next-index
+    + reduceat). Pythagorean-triple planted segments make every length
+    an exact integer — hash-exact vs the SQL window oracle."""
+    import ray.data as rd
+
+    from osmptparser_ray.spatial.join import polyline_length
+
+    polys = _len_polylines()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+                "ring_lats": pa.array(
+                    [[float(y) for _, y in v] for _, v in polys],
+                    pa.list_(pa.float64()),
+                ),
+                "ring_lons": pa.array(
+                    [[float(x) for x, _ in v] for _, v in polys],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    out = polyline_length(ds, metric="planar_deg")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "poly_id": t["poly_id"],
+                "length": pc.cast(t["length"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_distance_join(sf_dir: str):
     """ST_DWithin self-join (round-4): all customer-point pairs within
     0.0625° — cell-banded hash join + vectorized refine, no groupby. The
@@ -1684,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk": _q_windowed_topk,
         "distance_join": _q_distance_join,
         "polygon_area": _q_polygon_area,
+        "polyline_length": _q_polyline_length,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1906,6 +1969,20 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "polyline_length": (
+            "WITH v(poly_id, idx, x, y) AS (VALUES "
+            + ", ".join(
+                f"({pid}, {i}, {x}, {y})"
+                for pid, verts in _len_polylines()
+                for i, (x, y) in enumerate(verts)
+            )
+            + "), e AS (SELECT CAST(poly_id AS BIGINT) AS poly_id, x, y, "
+            "lead(x) OVER w AS xn, lead(y) OVER w AS yn FROM v "
+            "WINDOW w AS (PARTITION BY poly_id ORDER BY idx)) "
+            "SELECT poly_id, CAST(COALESCE(SUM(SQRT("
+            "CAST((xn-x)*(xn-x) + (yn-y)*(yn-y) AS DOUBLE))), 0) AS BIGINT) "
+            "AS length FROM e GROUP BY poly_id"
         ),
         "polygon_area": (
             "WITH v(poly_id, idx, x, y) AS (VALUES "

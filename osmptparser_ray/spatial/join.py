@@ -1205,3 +1205,63 @@ def polygon_area(
         return batch.append_column(out, pa.array(sums / 2.0, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def polyline_length(
+    ds: rd.Dataset,
+    lat_col: str = "ring_lats",
+    lon_col: str = "ring_lons",
+    out: str = "length",
+    *,
+    metric: str = "planar_deg",
+    closed: bool = False,
+) -> rd.Dataset:
+    """Per-row polyline length (ST_Length analogue): sum of consecutive-
+    vertex segment lengths; ``closed=True`` adds the last→first segment
+    (perimeter). ``metric``: "planar_deg" (degree units) or "haversine"
+    (meters). Appends ``out``.
+
+    Vectorized like ``polygon_area``: one flatten per coordinate column,
+    a next-vertex index from the offsets (wraparound only when closed),
+    one segment-length array, per-row sums via ``np.add.reduceat``.
+    """
+    if metric not in ("planar_deg", "haversine"):
+        raise ValueError(f"metric must be 'planar_deg' or 'haversine', got {metric!r}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        lats = batch[lat_col].combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(lats).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        y = lats.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = (
+            batch[lon_col]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = len(counts)
+        total = int(counts.sum())
+        if total == 0:
+            return batch.append_column(out, pa.array([0.0] * n, pa.float64()))
+        ends = np.cumsum(counts) - 1
+        starts = ends - counts + 1
+        nxt = np.arange(total, dtype=np.int64) + 1
+        nz = counts > 0
+        nxt[ends[nz]] = starts[nz]  # wraparound (masked out below if open)
+        if metric == "haversine":
+            seg = haversine_m_vec(y, x, y[nxt], x[nxt])
+        else:
+            dx = x[nxt] - x
+            dy = y[nxt] - y
+            seg = np.sqrt(dx * dx + dy * dy)
+        if not closed:
+            seg = seg.copy()
+            seg[ends[nz]] = 0.0  # drop the wraparound segment
+        sums = np.zeros(n, np.float64)
+        sums[nz] = np.add.reduceat(seg, starts[nz])[: int(nz.sum())]
+        return batch.append_column(out, pa.array(sums, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

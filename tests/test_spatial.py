@@ -539,3 +539,68 @@ class TestPolygonArea:
             )
             out = polygon_area(ds).take_all()
             assert out[0]["area"] == 4.0
+
+
+class TestPolylineLength:
+    def test_planar_and_perimeter(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polyline_length
+
+        # 3-4-5 right triangle: open legs 3+4=7; closed perimeter 12
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1], pa.int64()),
+                    "ring_lats": pa.array([[0, 0, 3]], pa.list_(pa.float64())),
+                    "ring_lons": pa.array([[0, 4, 4]], pa.list_(pa.float64())),
+                }
+            )
+        )
+        open_len = polyline_length(ds, metric="planar_deg").take_all()[0]["length"]
+        closed_len = polyline_length(ds, metric="planar_deg", closed=True).take_all()[
+            0
+        ]["length"]
+        assert open_len == 7.0 and closed_len == 12.0
+
+    def test_haversine_matches_kernel(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polyline_length
+
+        lats = [-2.1, -2.15, -2.2]
+        lons = [-79.9, -79.95, -79.9]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1], pa.int64()),
+                    "ring_lats": pa.array([lats], pa.list_(pa.float64())),
+                    "ring_lons": pa.array([lons], pa.list_(pa.float64())),
+                }
+            )
+        )
+        got = polyline_length(ds, metric="haversine").take_all()[0]["length"]
+        want = sum(
+            haversine_m(lats[i], lons[i], lats[i + 1], lons[i + 1]) for i in range(2)
+        )
+        assert got == pytest.approx(want)
+
+    def test_degenerate(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polyline_length
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1, 2], pa.int64()),
+                    "ring_lats": pa.array([[5.0], []], pa.list_(pa.float64())),
+                    "ring_lons": pa.array([[5.0], []], pa.list_(pa.float64())),
+                }
+            )
+        )
+        out = {r["poly_id"]: r["length"] for r in polyline_length(ds).take_all()}
+        assert out == {1: 0.0, 2: 0.0}

@@ -236,7 +236,7 @@ def _q_pbf_roundtrip(sf_dir: str):
     from osmptparser_ray.sources.pbf_write import write_pbf
     from osmptparser_ray.stages.assemble import get_public_transports
 
-    out = os.path.join(tempfile.gettempdir(), "osmray_q_roundtrip.osm.pbf")
+    out = os.path.join(tempfile.gettempdir(), f"osmray_q_roundtrip_{os.getpid()}.osm.pbf")
     write_pbf(
         read_pbf_elements("/root/reference/tests/test.pbf"), out, batch_size=300
     )
@@ -1583,7 +1583,7 @@ def _q_checkpoint_resume(sf_dir: str):
 
     from osmptparser_ray.state.checkpoint import completed_partitions, run_partitioned
 
-    out_dir = os.path.join(tempfile.gettempdir(), "osmray_ckpt_demo")
+    out_dir = os.path.join(tempfile.gettempdir(), f"osmray_ckpt_demo_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def make(p: str):
@@ -1678,7 +1678,7 @@ def _q_admin_areas(sf_dir: str):
     from osmptparser_ray.pipelines.ptv2 import areas_from_pages
     from osmptparser_ray.sources.pages import synthesize_admin_pages_parquet
 
-    p = os.path.join(tempfile.gettempdir(), "osmray_admin_pages.parquet")
+    p = os.path.join(tempfile.gettempdir(), f"osmray_admin_pages_{os.getpid()}.parquet")
     if not os.path.exists(p):
         synthesize_admin_pages_parquet(p)
     ds = areas_from_pages(p, gap=150.0, filters=AA)

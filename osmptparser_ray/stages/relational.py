@@ -1180,6 +1180,11 @@ def anti_join(
     probe side is scanned twice (column-pruned) — materialize upstream
     if the scan is expensive. Both plans return identical rows
     (parity-tested).
+
+    Keys must be int64-castable (the sorted-array broadcast and the
+    Bloom hashes are integer-keyed); hash string keys to int64 upstream
+    (e.g. the ``exact_dedup`` md5→int pattern) for string-keyed anti
+    joins.
     """
     from ray.data.aggregate import Count
 

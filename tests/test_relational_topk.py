@@ -345,3 +345,33 @@ class TestExplodeList:
         )
         out = explode_list(ds, "xs", out_col="x").to_pandas()
         assert out["id"].tolist() == [2] and out["x"].tolist() == [5]
+
+
+class TestRunningAggStringKeys:
+    def test_string_keys_across_blocks(self, ray_session):
+        from osmptparser_ray.stages.relational import running_agg
+
+        rng = np.random.default_rng(7)
+        n = 1200
+        keys = np.array(["alpha", "beta", "gamma"], object)[
+            rng.integers(0, 3, n)
+        ]
+        df = pd.DataFrame(
+            {
+                "k": keys,
+                "o": rng.permutation(n).astype("int64"),
+                "v": rng.integers(0, 9, n).astype("int64"),
+            }
+        )
+        ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+        grp = ref.groupby("k", sort=False)
+        ref["running_n"] = grp.cumcount() + 1
+        ref["running_sum"] = grp["v"].cumsum()
+        out = (
+            running_agg(rd.from_pandas(df).repartition(9), "k", ["o"], "v")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        assert (out["running_n"].values == ref["running_n"].values).all()
+        assert (out["running_sum"].values == ref["running_sum"].values).all()

@@ -1371,6 +1371,36 @@ def _len_polylines():
     return polys
 
 
+def _q_polygon_centroid(sf_dir: str):
+    """Polygon centroid (round-4, ST_Centroid analogue): shoelace-moment
+    centroid over the same integer-coordinate planted polygons as
+    polygon_area — moment and area sums are exact ints in float64, and
+    the final division has identical operands in both engines, so the
+    float centroids hash-match the SQL oracle bit-for-bit."""
+    import ray.data as rd
+
+    from osmptparser_ray.spatial.join import polygon_centroid
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array([p for p, _ in _AREA_POLYS], pa.int64()),
+                "ring_lats": pa.array(
+                    [[float(y) for _, y in v] for _, v in _AREA_POLYS],
+                    pa.list_(pa.float64()),
+                ),
+                "ring_lons": pa.array(
+                    [[float(x) for x, _ in v] for _, v in _AREA_POLYS],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    return polygon_centroid(ds).select_columns(
+        ["poly_id", "centroid_lon", "centroid_lat"]
+    )
+
+
 def _q_polyline_length(sf_dir: str):
     """Polyline length (round-4, ST_Length analogue): per-row sum of
     consecutive-vertex segment lengths, vectorized (flatten + next-index
@@ -1747,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_join": _q_distance_join,
         "polygon_area": _q_polygon_area,
         "polyline_length": _q_polyline_length,
+        "polygon_centroid": _q_polygon_centroid,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
         "exact_dedup": _q_exact_dedup,
@@ -1969,6 +2000,25 @@ def oracle_sql() -> dict[str, str]:
         "explode_list": (
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
             "AS pos, unnest(embedding) AS v FROM embeddings"
+        ),
+        "polygon_centroid": (
+            "WITH v(poly_id, idx, x, y) AS (VALUES "
+            + ", ".join(
+                f"({pid}, {i}, {x}, {y})"
+                for pid, verts in _AREA_POLYS
+                for i, (x, y) in enumerate(verts)
+            )
+            + "), e AS (SELECT CAST(poly_id AS BIGINT) AS poly_id, x, y, "
+            "COALESCE(lead(x) OVER w, first_value(x) OVER w) AS xn, "
+            "COALESCE(lead(y) OVER w, first_value(y) OVER w) AS yn "
+            "FROM v WINDOW w AS (PARTITION BY poly_id ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+            "SELECT poly_id, "
+            "CAST(SUM((x+xn)*(x*yn-xn*y)) AS DOUBLE) / "
+            "(3.0 * CAST(SUM(x*yn-xn*y) AS DOUBLE)) AS centroid_lon, "
+            "CAST(SUM((y+yn)*(x*yn-xn*y)) AS DOUBLE) / "
+            "(3.0 * CAST(SUM(x*yn-xn*y) AS DOUBLE)) AS centroid_lat "
+            "FROM e GROUP BY poly_id"
         ),
         "polyline_length": (
             "WITH v(poly_id, idx, x, y) AS (VALUES "

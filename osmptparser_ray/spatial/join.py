@@ -1265,3 +1265,62 @@ def polyline_length(
         return batch.append_column(out, pa.array(sums, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def polygon_centroid(
+    ds: rd.Dataset,
+    lat_col: str = "ring_lats",
+    lon_col: str = "ring_lons",
+    out_lat: str = "centroid_lat",
+    out_lon: str = "centroid_lon",
+) -> rd.Dataset:
+    """Area-weighted polygon centroid (ST_Centroid analogue, planar):
+    C = Σ(v_i + v_{i+1})·cross_i / (6·A) with cross_i the shoelace term.
+    Degenerate rings (zero area) fall back to the vertex mean; empty
+    rings emit null. Same vectorization as ``polygon_area`` (flatten +
+    wraparound next index + reduceat) — no per-ring Python.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        lats = batch[lat_col].combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(lats).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        y = lats.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = (
+            batch[lon_col]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = len(counts)
+        total = int(counts.sum())
+        cx = np.full(n, np.nan)
+        cy = np.full(n, np.nan)
+        if total:
+            ends = np.cumsum(counts) - 1
+            starts = ends - counts + 1
+            nz = counts > 0
+            nxt = np.arange(total, dtype=np.int64) + 1
+            nxt[ends[nz]] = starts[nz]
+            cross = x * y[nxt] - x[nxt] * y
+            k = int(nz.sum())
+            a2 = np.add.reduceat(cross, starts[nz])[:k]  # 2·signed area
+            mx = np.add.reduceat((x + x[nxt]) * cross, starts[nz])[:k]
+            my = np.add.reduceat((y + y[nxt]) * cross, starts[nz])[:k]
+            sx = np.add.reduceat(x, starts[nz])[:k]
+            sy = np.add.reduceat(y, starts[nz])[:k]
+            nzc = counts[nz].astype(np.float64)
+            deg = a2 == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gx = np.where(deg, sx / nzc, mx / (3.0 * a2))
+                gy = np.where(deg, sy / nzc, my / (3.0 * a2))
+            cx[nz] = gx
+            cy[nz] = gy
+        return batch.append_column(
+            out_lon, pa.array(cx, pa.float64())
+        ).append_column(out_lat, pa.array(cy, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -604,3 +604,59 @@ class TestPolylineLength:
         )
         out = {r["poly_id"]: r["length"] for r in polyline_length(ds).take_all()}
         assert out == {1: 0.0, 2: 0.0}
+
+
+class TestPolygonCentroid:
+    def test_known_shapes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polygon_centroid
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    # unit square; CW square (orientation-invariant);
+                    # degenerate segment (vertex mean); empty (null)
+                    "ring_lats": pa.array(
+                        [[0, 0, 1, 1], [0, 1, 1, 0], [0, 2], []],
+                        pa.list_(pa.float64()),
+                    ),
+                    "ring_lons": pa.array(
+                        [[0, 1, 1, 0], [0, 0, 1, 1], [0, 2], []],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        ).repartition(2)
+        out = (
+            polygon_centroid(ds)
+            .to_pandas()
+            .sort_values("poly_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "centroid_lon"] == 0.5 and out.loc[0, "centroid_lat"] == 0.5
+        assert out.loc[1, "centroid_lon"] == 0.5 and out.loc[1, "centroid_lat"] == 0.5
+        assert out.loc[2, "centroid_lon"] == 1.0 and out.loc[2, "centroid_lat"] == 1.0
+        assert np.isnan(out.loc[3, "centroid_lon"])
+
+    def test_l_shape_area_weighting(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.spatial import polygon_centroid
+
+        # L = [0,2]x[0,1] (area 2, c=(1,0.5)) + [1,2]x[1,2] (area 1, c=(1.5,1.5))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([1], pa.int64()),
+                    "ring_lats": pa.array([[0, 0, 2, 2, 1, 1]], pa.list_(pa.float64())),
+                    "ring_lons": pa.array([[0, 2, 2, 1, 1, 0]], pa.list_(pa.float64())),
+                }
+            )
+        )
+        r = polygon_centroid(ds).take_all()[0]
+        assert r["centroid_lon"] == pytest.approx((2 * 1 + 1 * 1.5) / 3)
+        assert r["centroid_lat"] == pytest.approx((2 * 0.5 + 1 * 1.5) / 3)

@@ -35,6 +35,33 @@ import pyarrow.compute as pc
 
 _PAGES_CACHE = "/tmp/osmray_pages_r{replicas}_seed42_sharded"
 
+
+def _pid_scratch(name: str) -> str:
+    """Pid-unique scratch path (concurrent gate runs must not race each
+    other's /tmp), registered for deletion at process exit — pid paths
+    never cache across runs, so without the atexit hook every run would
+    leak one artifact. Exit-time (not eager) deletion matters: the
+    returned Datasets may read the path lazily when the driver consumes
+    the query result long after the query function returned."""
+    import atexit
+    import shutil
+    import tempfile
+
+    p = os.path.join(tempfile.gettempdir(), name.format(pid=os.getpid()))
+
+    def _cleanup(path=p):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    atexit.register(_cleanup)
+    return p
+
+
 # point synthesis from customer keys — IDENTICAL arithmetic in SQL oracle
 _LAT_EXPR = "(-3.0 + ((c_custkey * 2654435761) % 100000) / 100000.0 * 2.0)"
 _LON_EXPR = "(-80.5 + ((c_custkey * 40503) % 100000) / 100000.0 * 2.0)"
@@ -236,7 +263,7 @@ def _q_pbf_roundtrip(sf_dir: str):
     from osmptparser_ray.sources.pbf_write import write_pbf
     from osmptparser_ray.stages.assemble import get_public_transports
 
-    out = os.path.join(tempfile.gettempdir(), f"osmray_q_roundtrip_{os.getpid()}.osm.pbf")
+    out = _pid_scratch("osmray_q_roundtrip_{pid}.osm.pbf")
     write_pbf(
         read_pbf_elements("/root/reference/tests/test.pbf"), out, batch_size=300
     )
@@ -1613,7 +1640,7 @@ def _q_checkpoint_resume(sf_dir: str):
 
     from osmptparser_ray.state.checkpoint import completed_partitions, run_partitioned
 
-    out_dir = os.path.join(tempfile.gettempdir(), f"osmray_ckpt_demo_{os.getpid()}")
+    out_dir = _pid_scratch("osmray_ckpt_demo_{pid}")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def make(p: str):
@@ -1708,9 +1735,14 @@ def _q_admin_areas(sf_dir: str):
     from osmptparser_ray.pipelines.ptv2 import areas_from_pages
     from osmptparser_ray.sources.pages import synthesize_admin_pages_parquet
 
-    p = os.path.join(tempfile.gettempdir(), f"osmray_admin_pages_{os.getpid()}.parquet")
+    p = os.path.join(tempfile.gettempdir(), "osmray_admin_pages.parquet")
     if not os.path.exists(p):
-        synthesize_admin_pages_parquet(p)
+        # atomic publish: synthesize under a pid-unique name, rename into
+        # place — concurrent gate runs either see the full file or write
+        # their own and lose the (idempotent) rename race harmlessly
+        tmp = _pid_scratch("osmray_admin_pages_{pid}.tmp.parquet")
+        synthesize_admin_pages_parquet(tmp)
+        os.replace(tmp, p)
     ds = areas_from_pages(p, gap=150.0, filters=AA)
 
     def project(batch: pa.Table) -> pa.Table:

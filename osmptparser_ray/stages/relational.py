@@ -24,6 +24,26 @@ import ray.data as rd
 from ..util import cached_get
 
 
+def _as_arrow_block(block) -> "pa.Table":
+    """Sorted-dataset blocks downstream of a pandas stage stay pandas —
+    coerce to Arrow once (shared by every sort-scan operator)."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
+
+
+def _nonempty_block_refs(sorted_ds) -> list:
+    """Block refs of a materialized dataset, empty blocks dropped —
+    the sort-scan scaffolding shared by topk_per_group / running_agg /
+    quantiles_per_group / pack_sequences."""
+    return [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, md in bundle.blocks
+        if md.num_rows is None or md.num_rows > 0
+    ]
+
+
 def topk_per_group(
     ds: rd.Dataset,
     group_col: str,
@@ -77,18 +97,8 @@ def topk_per_group(
         [group_col] + sort_cols, descending=[False] + [not a for a in asc]
     ).materialize()
 
-    block_refs = [
-        ref
-        for bundle in sorted_ds.iter_internal_ref_bundles()
-        for ref, md in bundle.blocks
-        if md.num_rows is None or md.num_rows > 0
-    ]
-
-    def _blk(block) -> pa.Table:
-        # blocks downstream of the pandas partial stay pandas-format
-        if isinstance(block, pd.DataFrame):
-            return pa.Table.from_pandas(block, preserve_index=False)
-        return block
+    block_refs = _nonempty_block_refs(sorted_ds)
+    _blk = _as_arrow_block
 
     def _groups(block: pa.Table) -> np.ndarray:
         return block[group_col].to_numpy(zero_copy_only=False)
@@ -912,10 +922,7 @@ def quantiles_per_group(
     block_cum = np.cumsum(np.asarray(counts, np.int64))
     block_start = block_cum - np.asarray(counts, np.int64)
 
-    def _blk(block) -> pa.Table:
-        if isinstance(block, pd.DataFrame):
-            return pa.Table.from_pandas(block, preserve_index=False)
-        return block
+    _blk = _as_arrow_block
 
     @ray.remote
     def rle(block):
@@ -1049,17 +1056,8 @@ def running_agg(
     """
     sorted_ds = ds.sort([key_col] + list(order_cols)).materialize()
 
-    block_refs = [
-        ref
-        for bundle in sorted_ds.iter_internal_ref_bundles()
-        for ref, md in bundle.blocks
-        if md.num_rows is None or md.num_rows > 0
-    ]
-
-    def _blk(block) -> pa.Table:
-        if isinstance(block, pd.DataFrame):
-            return pa.Table.from_pandas(block, preserve_index=False)
-        return block
+    block_refs = _nonempty_block_refs(sorted_ds)
+    _blk = _as_arrow_block
 
     def _cols(block: pa.Table):
         g = block[key_col].to_numpy(zero_copy_only=False)
@@ -1377,7 +1375,9 @@ def approx_distinct_per_group(
     groupby-aggregate is the right tool instead). No shuffle anywhere.
 
     Returns an Arrow table (group, approx_distinct:int64) sorted by
-    group; error ≈ 1.04/sqrt(2^p) per group.
+    group; error ≈ 1.04/sqrt(2^p) per group. Rows with a NULL group are
+    DROPPED (a null dictionary index would otherwise corrupt the
+    register scatter); aggregate nulls upstream if they matter.
     """
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
@@ -1386,6 +1386,7 @@ def approx_distinct_per_group(
     def partial(batch: pa.Table) -> pa.Table:
         from .bloom import _hash2
 
+        batch = batch.filter(pc.is_valid(batch[group_col]))
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         grp = batch[group_col]
         enc = grp.combine_chunks().dictionary_encode()
@@ -1485,7 +1486,10 @@ def rollup_agg(
         missing = [c for c in group_cols if c not in level_cols]
 
         def f(t: pa.Table) -> pa.Table:
-            cols = {c: t[c] for c in level_cols}
+            # group columns are emitted as STRING at every level (the
+            # documented contract): coarser levels stamp all_label, so a
+            # non-string finest level would union mismatched schemas
+            cols = {c: pc.cast(t[c], pa.string()) for c in level_cols}
             for c in missing:
                 cols[c] = pa.array([all_label] * len(t), pa.string())
             cols["n"] = pc.cast(t["n"], pa.int64())
@@ -1583,14 +1587,25 @@ def heavy_hitters(
         items, counts, err = mg_partial(vals, capacity)
         # err rides on the FIRST row only, so the driver's total is just
         # the sum of the err column regardless of how iter_batches
-        # re-slices the partial tables (a truncation implies len==capacity
-        # > 0 rows, so a positive err always has a row to ride on)
+        # re-slices the partial tables. MG truncation CAN empty the
+        # summary (capacity+1 all-tied counts decrement every counter to
+        # zero) while err is positive — emit one NULL-item carrier row in
+        # that case so the decrement is never silently dropped (a dropped
+        # err breaks the lb ≤ true ≤ lb+err guarantee the driver gate
+        # asserts).
         err_col = np.zeros(len(items), np.int64)
         if len(items):
             err_col[0] = err
+            item_arr = pa.array(items)
+        elif err:
+            err_col = np.array([err], np.int64)
+            item_arr = pa.nulls(1, batch[col].type)
+            counts = np.zeros(1, np.int64)
+        else:
+            item_arr = pa.array([], batch[col].type)
         return pa.table(
             {
-                col: pa.array(items),
+                col: item_arr,
                 "lb": pa.array(counts, pa.int64()),
                 "err": pa.array(err_col, pa.int64()),
             }
@@ -1601,11 +1616,14 @@ def heavy_hitters(
     for b in ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow"
     ).iter_batches(batch_size=256, batch_format="pyarrow"):
-        items = np.asarray(b[col].to_pylist(), object)
+        if b.num_rows == 0:
+            continue
+        batch_err_total += int(b["err"].to_numpy(zero_copy_only=False).sum())
+        valid = b.filter(pc.is_valid(b[col]))  # drop NULL err-carrier rows
+        items = np.asarray(valid[col].to_pylist(), object)
         if not len(items):
             continue
-        counts = b["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        batch_err_total += int(b["err"].to_numpy(zero_copy_only=False).sum())
+        counts = valid["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
         acc = mg_merge(acc, (items, counts, 0), capacity)
     items, counts, err = acc
     err += batch_err_total
@@ -1680,7 +1698,6 @@ def pivot_agg(
     """
     from ray.data.aggregate import Sum
 
-    cat_arr = np.asarray(categories, dtype=object)
     cat_index = {c: i for i, c in enumerate(categories)}
     out_names = [f"{c}_v" for c in categories]
 

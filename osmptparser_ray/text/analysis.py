@@ -235,7 +235,12 @@ def add_word_diversity(ds: rd.Dataset, col: str = "text") -> rd.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         arr = batch[col].combine_chunks()
         words = pc.split_pattern(arr, pattern=" ")
-        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        # null text → null list; fill to 0 BEFORE the int cast (a null
+        # becomes NaN → a huge negative int64 → np.repeat raises). Null
+        # rows score n_words = n_distinct = 0.
+        counts = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
         counts = np.asarray(counts, np.int64)
         n = len(counts)
         # flatten() respects the array's own offsets (slice-safe)

@@ -53,17 +53,10 @@ def pack_sequences(
 
     sorted_ds = ds.select_columns([id_col, token_col]).sort(id_col).materialize()
 
-    block_refs = [
-        ref
-        for bundle in sorted_ds.iter_internal_ref_bundles()
-        for ref, md in bundle.blocks
-        if md.num_rows is None or md.num_rows > 0
-    ]
+    from ..stages.relational import _as_arrow_block as _blk
+    from ..stages.relational import _nonempty_block_refs
 
-    def _blk(block) -> pa.Table:
-        if isinstance(block, pd.DataFrame):
-            return pa.Table.from_pandas(block, preserve_index=False)
-        return block
+    block_refs = _nonempty_block_refs(sorted_ds)
 
     @ray.remote
     def block_total(block) -> int:

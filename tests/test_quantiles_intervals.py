@@ -640,3 +640,64 @@ class TestPivotAgg:
         assert out["g"].tolist() == ["x", "y"]
         assert out["a_v"].tolist() == [1, 3]
         assert out["b_v"].tolist() == [2, 0]
+
+
+class TestReviewRegressions:
+    """Regressions for the round-4 code-review findings."""
+
+    def test_mg_err_survives_empty_truncation(self, ray_session):
+        """capacity+1 all-tied counts empty the MG summary; the decrement
+        must still be counted or the lb<=true<=lb+err guarantee breaks."""
+        import collections
+
+        from osmptparser_ray.stages.relational import heavy_hitters
+
+        b1 = pa.table({"v": pa.array(np.arange(17, dtype=np.int64))})
+        b2 = pa.table({"v": pa.array([0], pa.int64())})
+        ds = rd.from_arrow([b1, b2])
+        top, err = heavy_hitters(ds, "v", k=17, capacity=16)
+        exact = collections.Counter(list(range(17)) + [0])
+        sk = dict(zip(top["v"].to_pylist(), top["lb"].to_pylist()))
+        assert err >= 1
+        for item, lb in sk.items():
+            assert lb <= exact[item] <= lb + err
+        for item, c in exact.items():
+            if c > err:
+                assert item in sk
+
+    def test_rollup_int_group_columns(self, ray_session):
+        from osmptparser_ray.stages.relational import rollup_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "year": pa.array([2024, 2024, 2025], pa.int64()),
+                    "month": pa.array([1, 2, 1], pa.int64()),
+                    "v": pa.array([10, 20, 30], pa.int64()),
+                }
+            )
+        )
+        out = (
+            rollup_agg(ds, ["year", "month"], "v")
+            .to_pandas()
+            .sort_values(["year", "month"])
+            .reset_index(drop=True)
+        )
+        # all levels stringified — union schemas agree
+        assert set(out["year"]) == {"2024", "2025", "ALL"}
+        total = out[(out["year"] == "ALL")]
+        assert total["n"].tolist() == [3] and total["sum_v"].tolist() == [60]
+
+    def test_grouped_hll_null_groups_dropped(self, ray_session):
+        from osmptparser_ray.stages.relational import approx_distinct_per_group
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(["a", None, "a", "b"], pa.string()),
+                    "v": pa.array([1, 2, 3, 4], pa.int64()),
+                }
+            )
+        )
+        out = approx_distinct_per_group(ds, "g", "v")
+        assert out["g"].to_pylist() == ["a", "b"]

@@ -452,3 +452,22 @@ class TestPackSequences:
         assert pack_sequences(empty).count() == 0
         with pytest.raises(ValueError):
             pack_sequences(empty, budget=0)
+
+
+class TestWordDiversityNulls:
+    def test_null_text_scores_zero(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text import add_word_diversity
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b", None], pa.string()),
+                }
+            )
+        )
+        rows = {r["doc_id"]: r for r in add_word_diversity(ds).take_all()}
+        assert rows[1]["n_words"] == 2
+        assert rows[2]["n_words"] == 0 and rows[2]["n_distinct"] == 0

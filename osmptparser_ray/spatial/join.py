@@ -168,6 +168,16 @@ def _poly_rows(
     pairs = np.empty((len(la_flat), 2), np.float64)
     pairs[:, 0] = la_flat
     pairs[:, 1] = lo_flat
+    if int(off[-1]) * 16 > np.iinfo(np.int32).max:
+        # pa.binary() offsets are int32 and from_buffers does not
+        # validate — past 2^27 coordinate pairs per batch the cast would
+        # wrap negative and emit silently-corrupt blobs (the replaced
+        # pa.array path at least raised ArrowCapacityError). Batches this
+        # large should be split upstream via batch_size.
+        raise ValueError(
+            "_poly_rows: ring payload exceeds the 2 GiB binary-offset "
+            "limit for one batch; reduce map_batches batch_size"
+        )
     byte_offs = (off * 16).astype(np.int32)
     blob_all = pa.Array.from_buffers(
         pa.binary(),

@@ -529,10 +529,18 @@ def build_parser_tables(
         raise ValueError(f"id_set_mode must be 'exact' or 'bloom', got {id_set_mode!r}")
     if plan not in ("auto", "split", "scan3"):
         raise ValueError(f"plan must be 'auto', 'split' or 'scan3', got {plan!r}")
+    if plan == "split" and id_set_mode == "bloom":
+        # an EXPLICIT split request must not silently materialize the
+        # full elements table (the split plan exists precisely to avoid
+        # pinning it); the bloom ingest path is scan3-shaped only
+        raise ValueError(
+            "plan='split' does not support id_set_mode='bloom' — use "
+            "plan='scan3' (or 'auto', which resolves to scan3 for bloom)"
+        )
     if plan == "auto":
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        plan = "split" if cpus >= 16 else "scan3"
-    if plan == "split" and id_set_mode == "exact":
+        plan = "split" if cpus >= 16 and id_set_mode == "exact" else "scan3"
+    if plan == "split":
         return _build_parser_tables_split(elements, filters, dedup=dedup)
     if materialize:
         elements = elements.materialize()

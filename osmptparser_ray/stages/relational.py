@@ -724,9 +724,17 @@ def interval_join_shuffle(
             }
         )
 
+    if cell_width is not None and banding == "auto":
+        # an explicit cell_width is a single-banding tuning knob; auto
+        # silently switching to multiscale (which derives per-interval
+        # widths and never reads cell_width) would discard it
+        banding = "single"
     need_stats = cell_width is None or banding in ("auto", "multiscale")
     mean_w, max_w, occ_scales = 1.0, 1.0, np.empty(0, np.int64)
     if need_stats:
+        # materialize once: the stats pass and the banding pass would
+        # otherwise each re-execute the whole upstream intervals chain
+        intervals = intervals.materialize()
         stats = (
             intervals.select_columns([lo_col, hi_col])
             .map_batches(width_stats, batch_format="pyarrow")
@@ -744,46 +752,24 @@ def interval_join_shuffle(
         banding = "multiscale" if max_w > 32 * mean_w else "single"
     w = float(cell_width) if cell_width is not None else mean_w
 
-    def interval_rows_single(batch: pa.Table) -> pa.Table:
+    def _interval_rows(batch: pa.Table, multiscale: bool) -> pa.Table:
+        """Shared banding kernel: single = the cw[:]=w special case of
+        multiscale (one helper so boundary fixes like the nextafter
+        half-open treatment land once)."""
         iid = batch[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
         lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
         valid = hi > lo
         iid, lo, hi = iid[valid], lo[valid], hi[valid]
-        c0 = np.floor(lo / w).astype(np.int64)
-        c1 = np.floor(np.nextafter(hi, -np.inf) / w).astype(np.int64)
-        cnt = c1 - c0 + 1
-        total = int(cnt.sum())
-        k = np.repeat(np.arange(len(iid), dtype=np.int64), cnt)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt
-        )
-        cells = c0[k] + within
-        rep = np.repeat(np.arange(total, dtype=np.int64), salt)
-        return pa.table(
-            {
-                "scale": pa.array(np.zeros(total * salt, np.int64), pa.int64()),
-                "cell": pa.array(cells[rep], pa.int64()),
-                "jsalt": pa.array(
-                    np.tile(np.arange(salt, dtype=np.int64), total), pa.int64()
-                ),
-                interval_id: pa.array(iid[k][rep], pa.int64()),
-                "_lo": pa.array(lo[k][rep], pa.float64()),
-                "_hi": pa.array(hi[k][rep], pa.float64()),
-            }
-        )
-
-    def interval_rows_multiscale(batch: pa.Table) -> pa.Table:
-        iid = batch[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
-        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        valid = hi > lo
-        iid, lo, hi = iid[valid], lo[valid], hi[valid]
-        sc = np.floor(np.log2(hi - lo)).astype(np.int64)
-        cw = np.exp2((sc + 1).astype(np.float64))
+        if multiscale:
+            sc = np.floor(np.log2(hi - lo)).astype(np.int64)
+            cw = np.exp2((sc + 1).astype(np.float64))
+        else:
+            sc = np.zeros(len(iid), np.int64)
+            cw = np.full(len(iid), w, np.float64)
         c0 = np.floor(lo / cw).astype(np.int64)
         c1 = np.floor(np.nextafter(hi, -np.inf) / cw).astype(np.int64)
-        cnt = c1 - c0 + 1  # always 1 or 2: width <= cell width at own scale
+        cnt = c1 - c0 + 1  # multiscale: always 1 or 2 (width ≤ own-scale cell)
         total = int(cnt.sum())
         k = np.repeat(np.arange(len(iid), dtype=np.int64), cnt)
         within = np.arange(total, dtype=np.int64) - np.repeat(
@@ -803,6 +789,12 @@ def interval_join_shuffle(
                 "_hi": pa.array(hi[k][rep], pa.float64()),
             }
         )
+
+    def interval_rows_single(batch: pa.Table) -> pa.Table:
+        return _interval_rows(batch, multiscale=False)
+
+    def interval_rows_multiscale(batch: pa.Table) -> pa.Table:
+        return _interval_rows(batch, multiscale=True)
 
     scales_arr = occ_scales  # broadcast via closure: ≤ 64 int64s
 
@@ -905,8 +897,15 @@ def quantiles_per_group(
             }
         )
 
+    def _drop_null_values(t: pa.Table) -> pa.Table:
+        # same contract as exact_quantiles/_sketch_samples: NULL values
+        # are ignored — without this, nulls inflate group totals and a
+        # high-q rank can land in the null region (NaN result)
+        return t.filter(pc.is_valid(t[value_col]))
+
     sorted_ds = (
         ds.select_columns([group_col, value_col])
+        .map_batches(_drop_null_values, batch_format="pyarrow")
         .sort([group_col, value_col])
         .materialize()
     )
@@ -914,6 +913,13 @@ def quantiles_per_group(
     block_refs, counts = [], []
     for b in bundles:
         for ref, meta in zip(b.block_refs, b.metadata):
+            if meta.num_rows is None:
+                # the rank→block index REQUIRES counts; silently dropping
+                # an unknown-count block would lose rows (sibling
+                # operators without a rank index keep such blocks)
+                raise RuntimeError(
+                    "quantiles_per_group: block metadata lacks num_rows"
+                )
             if meta.num_rows:
                 block_refs.append(ref)
                 counts.append(meta.num_rows)

@@ -366,13 +366,15 @@ def asof_join(
     def emit(batch: pa.Table, carry: bytes) -> pa.Table:
         cols: dict = {key_col: [], ts_col: []}
         if batch.num_rows == 0:
+            # types from the driver-captured side schemas, NOT the block
+            # schema — a sort-emitted empty block can be columnless (the
+            # same hazard summarize guards against) and .field() would
+            # raise KeyError on it
             empty = {key_col: pa.array([], pa.int64()), ts_col: pa.array([], pa.timestamp("us"))}
-            for c, src in out_fields:
-                empty[c] = pa.array([], batch.schema.field(src).type)
+            for c, _src in out_fields:
+                empty[c] = pa.array([], l_types[c])
             for c in right_cols:
-                empty[f"{c}{right_suffix}"] = pa.array(
-                    [], batch.schema.field(f"__r_{c}").type
-                )
+                empty[f"{c}{right_suffix}"] = pa.array([], r_types[c])
             return pa.table(empty)
         k, us, side, od = _cols(batch)
         carry_vals = pickle.loads(carry) if carry else None

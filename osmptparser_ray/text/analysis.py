@@ -323,7 +323,8 @@ def token_frequencies(
     pat = re.compile(TOKEN_RE)
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch[col].to_pylist()
+        # null texts contribute no tokens (join would raise on None)
+        texts = pc.drop_null(batch[col]).to_pylist()
         toks = pat.findall(" ".join(texts).lower())
         if not toks:
             return pa.table(

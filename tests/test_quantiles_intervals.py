@@ -701,3 +701,79 @@ class TestReviewRegressions:
         )
         out = approx_distinct_per_group(ds, "g", "v")
         assert out["g"].to_pylist() == ["a", "b"]
+
+
+class TestReviewRegressionsBatch2:
+    def test_quantiles_per_group_ignores_null_values(self, ray_session):
+        from osmptparser_ray.stages.relational import quantiles_per_group
+
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 10, pa.string()),
+                "v": pa.array([1.0, 2, 3, 4, 5, 6, 7, 8, None, None]),
+            }
+        )
+        out = quantiles_per_group(rd.from_arrow(t).repartition(3), "g", "v", [0.9])
+        # quantile_disc over the 8 non-null values: rank ceil(0.9*8)=8 -> 8.0
+        assert out["value"].to_pylist() == [8.0]
+
+    def test_token_frequencies_null_text(self, ray_session):
+        from osmptparser_ray.text.analysis import token_frequencies
+
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(["a b a", None, "b"], pa.string())})
+        )
+        out = token_frequencies(ds, "text", top_n=5).to_pandas()
+        assert dict(zip(out["token"], out["cnt"])) == {"a": 2, "b": 2}
+
+    def test_interval_cell_width_forces_single_banding(self, ray_session):
+        """An explicit cell_width must not be silently discarded by
+        auto→multiscale; parity of results regardless of plan."""
+        import duckdb
+
+        from osmptparser_ray.stages.relational import interval_join_shuffle
+
+        # wildly mixed widths would trip auto->multiscale
+        iv = pa.table(
+            {
+                "iv_id": pa.array([1, 2, 3], pa.int64()),
+                "lo": pa.array([0.0, 0.0, 5.0]),
+                "hi": pa.array([1000.0, 0.5, 6.0]),
+            }
+        )
+        pts = pa.table(
+            {
+                "pt_id": pa.array(list(range(20)), pa.int64()),
+                "v": pa.array([float(x) * 7.3 for x in range(20)]),
+            }
+        )
+        out = (
+            interval_join_shuffle(
+                rd.from_arrow(pts),
+                rd.from_arrow(iv),
+                point_id="pt_id",
+                interval_id="iv_id",
+                value_col="v",
+                lo_col="lo",
+                hi_col="hi",
+                cell_width=2.0,
+            )
+            .to_pandas()
+            .sort_values(["pt_id", "iv_id"])
+            .reset_index(drop=True)
+        )
+        pts_pd, iv_pd = pts.to_pandas(), iv.to_pandas()
+        want = [
+            (int(p.pt_id), int(i.iv_id))
+            for p in pts_pd.itertuples()
+            for i in iv_pd.itertuples()
+            if i.lo <= p.v < i.hi
+        ]
+        got = list(zip(out["pt_id"], out["iv_id"]))
+        assert sorted(got) == sorted(want)
+
+    def test_split_plus_bloom_rejected(self, ray_session):
+        from osmptparser_ray.stages.elements import build_parser_tables
+
+        with pytest.raises(ValueError):
+            build_parser_tables(None, "", plan="split", id_set_mode="bloom")

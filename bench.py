@@ -205,6 +205,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "anti_join_shuffle",
         "hll_distinct",
         "pack_sequences",
+        "distance_join",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

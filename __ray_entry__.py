@@ -1275,6 +1275,20 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_ann_bigbig_join(sf_dir: str):
+    """Big-big IVF posting-list ANN join at full probe (n_probe ==
+    n_lists) — queries are a DATASET, nothing broadcast; must equal the
+    brute-force cosine oracle exactly (same bar as ann_ivf_topk)."""
+    from osmptparser_ray.embed.ann import ivf_ann_join
+
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries_ds = vectors.filter(expr="vec_id < 5")
+    out = ivf_ann_join(
+        vectors, queries_ds, k=5, n_lists=8, n_probe=8, vec_chunks=2
+    )
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _q_cosine_near_dup(sf_dir: str):
     """Planted-duplicate golden with a CLOSED-FORM oracle (engine-free).
 
@@ -1819,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_bigbig_join": _q_ann_bigbig_join,
         "cosine_near_dup": _q_cosine_near_dup,
         "cell_assign": _q_cell_assign,
         "pip_rect": _q_pip_rect,
@@ -2258,6 +2273,15 @@ def oracle_sql() -> dict[str, str]:
             "(85965, 'Trolebus Quitumbe => La Y', 106, 31, 575), "
             "(2030162, 'B6 Mapasingue Oeste Ida', 20, 1, 109)"
             ") AS t(id, name, n_ways, n_stops, n_nodes)"
+        ),
+        "ann_bigbig_join": (
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.vec_id AS query_id, t.vec_id AS vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, "
+            "t.vec_id ASC) AS rank "
+            "FROM embeddings q CROSS JOIN embeddings t WHERE q.vec_id < 5) "
+            "WHERE rank <= 5"
         ),
         "ann_ivf_topk": (
             "SELECT query_id, rank, vec_id FROM ("

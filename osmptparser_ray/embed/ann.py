@@ -488,3 +488,174 @@ def ivf_ann(
         return g[["query_id", "rank", "vec_id", "score"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Big-big IVF ANN join — queries are a Dataset too (broadcast-free)
+# ---------------------------------------------------------------------------
+
+
+def ivf_ann_join(
+    vectors: rd.Dataset,
+    queries: rd.Dataset,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    train_sample: int = 2048,
+    vec_chunks: Optional[int] = None,
+    target_group: int = 4096,
+) -> rd.Dataset:
+    """IVF ANN where BOTH sides are Datasets — the broadcast-free scale
+    path for when the query set itself is too large to ``ray.put``
+    (``knn_bruteforce``/``ivf_ann`` broadcast the query matrix; at 10^8+
+    queries that object no longer fits a worker heap).
+
+    Physical plan (posting-list join):
+
+    1. train the coarse quantizer on a driver-side vector SAMPLE
+       (standard IVF; the only driver materialization, ≤``train_sample``
+       rows),
+    2. assign every vector to its nearest list (one row) plus a chunk
+       salt ``h(id) mod vec_chunks`` bounding per-group population,
+    3. replicate every query onto its ``n_probe`` nearest lists × all
+       chunks (repeat/take, vectorized),
+    4. union both sides (side tag) and ``groupby(list, chunk)`` —
+       FEW, LARGE groups (``n_lists × vec_chunks``), the regime where a
+       per-group UDF is the right tool (one matmul per group; contrast
+       ``topk_per_group``'s many-tiny-groups regime) — each group emits
+       vectorized per-query partial top-k rows,
+    5. global per-query merge via the sort-scan ``topk_per_group`` (zero
+       per-query Python).
+
+    Every (query, vector) candidate pair meets in EXACTLY one group (a
+    vector lives in one (list, chunk); a query's replicas are distinct
+    (list, chunk) keys), so no dedup pass is needed. ``n_probe ==
+    n_lists`` ⇒ exact brute-force result, the correctness gate.
+
+    ``vec_chunks=None`` auto-sizes ceil(n / (n_lists × target_group)) so
+    expected group population stays ~``target_group`` as the corpus
+    grows. Output: (query_id, rank, vec_id, score), exactly ``ivf_ann``'s
+    schema — parity-tested against it (same seed ⇒ same quantizer ⇒ same
+    candidates).
+    """
+    from ..stages.relational import topk_per_group
+    from ..util import cached_get
+
+    qid_col = query_id_col or id_col
+    qvec_col = query_vec_col or vec_col
+
+    sample_rows = vectors.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    cents = _kmeans_fit(sample, n_lists)
+    cents_ref = ray.put(cents)
+    n_l = len(cents)
+    nprobe = min(n_probe, n_l)
+
+    if vec_chunks is None:
+        n_vec = vectors.count()
+        vec_chunks = max(1, int(np.ceil(n_vec / (n_l * target_group))))
+    n_chunks = int(vec_chunks)
+
+    def assign_vectors(batch: pa.Table) -> pa.Table:
+        c = cached_get(cents_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        lists = (
+            np.argmax(m @ c.T, axis=1).astype(np.int32)
+            if m.size
+            else np.empty(0, np.int32)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_chunks)).astype(np.int32)
+        return pa.table(
+            {
+                "list_id": pa.array(lists, pa.int32()),
+                "chunk": pa.array(chunk, pa.int32()),
+                "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "rid": pa.array(ids, pa.int64()),
+                "vec": batch[vec_col],
+            }
+        )
+
+    def assign_queries(batch: pa.Table) -> pa.Table:
+        c = cached_get(cents_ref)
+        m = _normalize(_to_matrix(batch[qvec_col]))
+        n = len(m) if m.size else 0
+        if not n:
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int32()),
+                    "chunk": pa.array([], pa.int32()),
+                    "side": pa.array([], pa.int8()),
+                    "rid": pa.array([], pa.int64()),
+                    "vec": pa.array([], batch[qvec_col].type),
+                }
+            )
+        # same probe rule as ivf_ann (argsort of -sims): ties resolve
+        # identically, keeping the parity contract exact
+        probes = np.argsort(-(m @ c.T), axis=1)[:, :nprobe]  # (n, nprobe)
+        # replicate each query row across nprobe lists × n_chunks chunks
+        reps = nprobe * n_chunks
+        row_idx = np.repeat(np.arange(n), reps)
+        lists = np.repeat(probes.astype(np.int32).reshape(-1), n_chunks)
+        chunk = np.tile(np.arange(n_chunks, dtype=np.int32), n * nprobe)
+        taken = batch.select([qid_col, qvec_col]).take(pa.array(row_idx))
+        ids = taken[qid_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "list_id": pa.array(lists, pa.int32()),
+                "chunk": pa.array(chunk, pa.int32()),
+                "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                "rid": pa.array(ids, pa.int64()),
+                "vec": taken[qvec_col],
+            }
+        )
+
+    tagged = vectors.map_batches(assign_vectors, batch_format="pyarrow").union(
+        queries.map_batches(assign_queries, batch_format="pyarrow")
+    )
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(dtype=np.int8)
+        rid = g["rid"].to_numpy(dtype=np.int64)
+        m = _normalize(_to_matrix(pa.array(g["vec"])))
+        v_sel = side == 0
+        q_sel = ~v_sel
+        if not v_sel.any() or not q_sel.any():
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        vid, vm = rid[v_sel], m[v_sel]
+        qid, qm = rid[q_sel], m[q_sel]
+        sim = qm @ vm.T  # (q_g, v_g)
+        kk = min(k, sim.shape[1])
+        # vectorized per-query partial top-k within the group
+        if kk < sim.shape[1]:
+            top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.broadcast_to(np.arange(sim.shape[1]), sim.shape).copy()
+        rows = np.repeat(np.arange(sim.shape[0]), top.shape[1])
+        cols = top.reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_id": qid[rows],
+                "vec_id": vid[cols],
+                "score": sim[rows, cols],
+            }
+        )
+
+    partials = tagged.groupby(["list_id", "chunk"]).map_groups(
+        refine, batch_format="pandas"
+    )
+    ranked = topk_per_group(
+        partials, "query_id", "score", k, tiebreak_col="vec_id", descending=True
+    )
+    return ranked.select_columns(["query_id", "rank", "vec_id", "score"])

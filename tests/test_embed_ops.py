@@ -182,3 +182,71 @@ class TestAutoBits:
             base_ids = [i for i in range(600) if i % dim == axis]
             for b in base_ids:
                 assert (b, 10_000 + axis) in got
+
+
+class TestIvfAnnJoin:
+    """Big-big posting-list join vs its broadcast siblings."""
+
+    def test_full_probe_equals_bruteforce(self, vectors):
+        from osmptparser_ray.embed.ann import ivf_ann_join, knn_bruteforce
+        import ray.data as rd
+
+        ds, m, ids = vectors
+        q, qids = m[:3], ids[:3]
+        queries = rd.from_arrow(
+            pa.table({"vec_id": pa.array(qids, pa.int64()),
+                      "embedding": pa.array([list(v) for v in q])})
+        )
+        exact = {(r["query_id"], r["rank"], r["vec_id"])
+                 for r in knn_bruteforce(ds, q, qids, k=5).take_all()}
+        got = {(r["query_id"], r["rank"], r["vec_id"])
+               for r in ivf_ann_join(ds, queries, k=5, n_lists=8, n_probe=8).take_all()}
+        assert got == exact
+
+    def test_partial_probe_parity_with_ivf_ann(self, vectors):
+        """Same fixed-seed quantizer + same probe rule ⇒ identical results
+        to the broadcast ivf_ann at ANY n_probe."""
+        from osmptparser_ray.embed.ann import ivf_ann, ivf_ann_join
+        import ray.data as rd
+
+        ds, m, ids = vectors
+        q, qids = m[:6], ids[:6]
+        queries = rd.from_arrow(
+            pa.table({"vec_id": pa.array(qids, pa.int64()),
+                      "embedding": pa.array([list(v) for v in q])})
+        )
+        a = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in ivf_ann(ds, q, qids, k=4, n_lists=8, n_probe=2).take_all()}
+        b = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in ivf_ann_join(ds, queries, k=4, n_lists=8, n_probe=2).take_all()}
+        assert a == b
+
+    def test_chunking_invariance(self, vectors):
+        """vec_chunks only decomposes groups; output must be identical."""
+        from osmptparser_ray.embed.ann import ivf_ann_join
+        import ray.data as rd
+
+        ds, m, ids = vectors
+        q, qids = m[:4], ids[:4]
+        queries = rd.from_arrow(
+            pa.table({"vec_id": pa.array(qids, pa.int64()),
+                      "embedding": pa.array([list(v) for v in q])})
+        )
+        one = {(r["query_id"], r["rank"], r["vec_id"])
+               for r in ivf_ann_join(ds, queries, k=5, n_lists=4, n_probe=4,
+                                     vec_chunks=1).take_all()}
+        four = {(r["query_id"], r["rank"], r["vec_id"])
+                for r in ivf_ann_join(ds, queries, k=5, n_lists=4, n_probe=4,
+                                      vec_chunks=4).take_all()}
+        assert one == four
+
+    def test_empty_queries(self, vectors):
+        from osmptparser_ray.embed.ann import ivf_ann_join
+        import ray.data as rd
+
+        ds, m, ids = vectors
+        queries = rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float64()))})
+        )
+        assert ivf_ann_join(ds, queries, k=3, n_lists=4, n_probe=2).count() == 0

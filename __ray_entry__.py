@@ -1289,6 +1289,40 @@ def _q_ann_bigbig_join(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_convex_hull(sf_dir: str):
+    """Grouped convex hull on a PLANTED integer-coordinate point set whose
+    hulls are provable by construction (the admin_areas oracle style):
+
+    * group 0 — an octagon's 8 vertices + on-edge collinear points (must
+      be dropped: strict-turn contract) + strictly interior points,
+    * group 1 — a right triangle + its hypotenuse midpoint (collinear,
+      dropped) + interior points.
+
+    Integer coordinates make every cross product exact in float64, so the
+    output is hash-exact against the VALUES oracle regardless of engine.
+    """
+    import ray.data as rd
+
+    from osmptparser_ray.spatial.hull import convex_hull_agg
+
+    oct_hull = [(2, 0), (6, 0), (8, 2), (8, 6), (6, 8), (2, 8), (0, 6), (0, 2)]
+    g0 = oct_hull + [(4, 0), (8, 4), (1, 1), (4, 4), (3, 2), (5, 6), (2, 3), (7, 4)]
+    g1 = [(0, 0), (10, 0), (0, 10), (5, 5), (2, 2), (1, 3), (3, 1), (4, 2)]
+    xs = [float(p[0]) for p in g0 + g1]
+    ys = [float(p[1]) for p in g0 + g1]
+    gs = [0] * len(g0) + [1] * len(g1)
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(gs, pa.int64()),
+                "lon": pa.array(xs, pa.float64()),
+                "lat": pa.array(ys, pa.float64()),
+            }
+        )
+    ).repartition(4)
+    return convex_hull_agg(pts, lat_col="lat", lon_col="lon", group_col="g")
+
+
 def _q_cosine_near_dup(sf_dir: str):
     """Planted-duplicate golden with a CLOSED-FORM oracle (engine-free).
 
@@ -1834,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_bigbig_join": _q_ann_bigbig_join,
+        "convex_hull": _q_convex_hull,
         "cosine_near_dup": _q_cosine_near_dup,
         "cell_assign": _q_cell_assign,
         "pip_rect": _q_pip_rect,
@@ -2273,6 +2308,16 @@ def oracle_sql() -> dict[str, str]:
             "(85965, 'Trolebus Quitumbe => La Y', 106, 31, 575), "
             "(2030162, 'B6 Mapasingue Oeste Ida', 20, 1, 109)"
             ") AS t(id, name, n_ways, n_stops, n_nodes)"
+        ),
+        # hulls provable from the planted construction (see _q_convex_hull):
+        # octagon CCW from lexicographic-min vertex (0,2); triangle from (0,0)
+        "convex_hull": (
+            "SELECT CAST(g AS BIGINT) AS g, CAST(ordinal AS BIGINT) AS ordinal, "
+            "CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat FROM (VALUES "
+            "(0, 0, 0, 2), (0, 1, 2, 0), (0, 2, 6, 0), (0, 3, 8, 2), "
+            "(0, 4, 8, 6), (0, 5, 6, 8), (0, 6, 2, 8), (0, 7, 0, 6), "
+            "(1, 0, 0, 0), (1, 1, 10, 0), (1, 2, 0, 10)"
+            ") AS t(g, ordinal, lon, lat)"
         ),
         "ann_bigbig_join": (
             "SELECT query_id, rank, vec_id FROM ("

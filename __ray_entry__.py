@@ -1762,6 +1762,41 @@ def _q_sessionize(sf_dir: str):
     return out.select_columns(["user_id", "session_id", "n_events", "start_us", "end_us"])
 
 
+def _q_sessionize_incremental(sf_dir: str):
+    """Streaming sessionize: fold the events log through TWO append-only
+    chunks (split at the median timestamp — a global time cut is per-user
+    monotone) via ``sessionize_append``; the folded view must equal batch
+    sessionize over the whole log, so the oracle is the SAME SQL as the
+    ``sessionize`` query."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from osmptparser_ray.state.incremental import sessionize_append
+
+    state = _pid_scratch("osmray_sess_inc_{pid}")
+    shutil.rmtree(state, ignore_errors=True)
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cut = int(np.median(us))
+    import ray.data as rd
+
+    for i, tbl in enumerate(
+        (t.filter(pc.less_equal(t["ts"].cast(pa.int64()), cut)),
+         t.filter(pc.greater(t["ts"].cast(pa.int64()), cut)))
+    ):
+        view = sessionize_append(
+            rd.from_arrow(tbl).repartition(8), state, 1800.0, run_id=str(i)
+        )
+    return view.select_columns(
+        ["user_id", "session_id", "n_events", "start_us", "end_us"]
+    )
+
+
 def _q_parser_summary(sf_dir: str):
     """Per-relation way/stop/node counts (reference Debug impl,
     mod.rs:745-770) over the fixture — golden VALUES oracle."""
@@ -1878,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image": _q_multimodal_image,
         "checkpoint_resume": _q_checkpoint_resume,
         "sessionize": _q_sessionize,
+        "sessionize_incremental": _q_sessionize_incremental,
         "topk_per_group": _q_topk_per_group,
         "deterministic_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
@@ -1911,7 +1947,7 @@ def oracle_sql() -> dict[str, str]:
     points_cte = (
         f"SELECT c_custkey AS point_id, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon FROM customer"
     )
-    return {
+    out = {
         # golden VALUES from the reference's integration test
         # (tests/integration_test.rs:9-18) + transliteration-verified
         # geometry counts (FIXTURES.md §2)
@@ -2399,3 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed table); both partitions must be skipped on resume
         "checkpoint_resume": "SELECT partition, CAST(rows AS BIGINT) AS rows, CAST(resumed_count AS BIGINT) AS resumed_count FROM (VALUES ('p0', 5, 2), ('p1', 5, 2)) AS t(partition, rows, resumed_count)",
     }
+    # folding chunks through sessionize_append must equal batch sessionize
+    # over the whole log — same oracle by construction
+    out["sessionize_incremental"] = out["sessionize"]
+    return out

@@ -1,0 +1,361 @@
+"""Incremental (streaming) sessionize over an append-only event log.
+
+``sessionize_append`` consumes one new CHUNK of events at a time and
+maintains durable state under ``state_dir`` so each run does work
+proportional to the chunk, never to history:
+
+* ``closed/part=<run>/`` — sessions that can no longer grow, appended
+  per run through the checkpoint manifest (atomic tmp→rename +
+  lineage line; a re-run of the same ``run_id`` is a no-op),
+* ``tails-<run>/`` + ``_TAILS.json`` pointer — ONE row per active user:
+  the still-open last session (the only state a future chunk can
+  touch). The pointer file is replaced atomically, so a crash between
+  writes leaves the previous state consistent.
+
+Per chunk: sessionize the chunk alone (the distributed scan plan), then
+stitch its per-user FIRST session onto the saved open tail with one
+per-user aggregate + one hash join — O(users-in-chunk) rows, no
+per-event rework. The append-log contract (events of a user arrive in
+non-decreasing time across chunks) is asserted per user when
+``strict=True``; violating it would require re-sessionizing history,
+which is exactly what this operator exists to avoid.
+
+Parity contract (tested): folding chunks through ``sessionize_append``
+yields byte-identical sessions to ``sessionize`` over the concatenated
+log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .checkpoint import completed_partitions, write_partition
+
+_TAILS_PTR = "_TAILS.json"
+_SESSION_COLS = ["user_id", "session_id", "n_events", "start_us", "end_us"]
+
+
+def _tails_pointer(state_dir: str) -> Optional[str]:
+    path = os.path.join(state_dir, _TAILS_PTR)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        rel = json.load(f)["path"]
+    return os.path.join(state_dir, rel)
+
+
+def _write_tails(state_dir: str, ds: rd.Dataset, run_id: str) -> None:
+    rel = f"tails-{run_id}-{uuid.uuid4().hex[:6]}"
+    final = os.path.join(state_dir, rel)
+    tmp = final + ".tmp"
+    ds.write_parquet(tmp)
+    os.replace(tmp, final)
+    ptr_tmp = os.path.join(state_dir, f".{_TAILS_PTR}.{uuid.uuid4().hex[:6]}")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        json.dump({"path": rel, "run": run_id}, f)
+    os.replace(ptr_tmp, os.path.join(state_dir, _TAILS_PTR))
+
+
+def _read_tails(state_dir: str) -> Optional[rd.Dataset]:
+    path = _tails_pointer(state_dir)
+    if path is None:
+        return None
+    return rd.read_parquet(path)
+
+
+def sessionize_state_read(state_dir: str) -> rd.Dataset:
+    """Current complete sessions view: closed partitions ∪ open tails."""
+    closed_dir = os.path.join(state_dir, "closed")
+    parts = [
+        os.path.join(closed_dir, f"part={p}")
+        for p in completed_partitions(closed_dir)
+    ]
+    files = [
+        os.path.join(p, n)
+        for p in parts
+        if os.path.isdir(p)
+        for n in sorted(os.listdir(p))
+        if n.endswith(".parquet")
+    ]  # a LIST of paths must be files on this Ray version, not dirs
+    pieces = []
+    if files:
+        pieces.append(
+            rd.read_parquet(files, columns=_SESSION_COLS).select_columns(
+                _SESSION_COLS
+            )
+        )
+    tails = _read_tails(state_dir)
+    if tails is not None:
+        pieces.append(tails.select_columns(_SESSION_COLS))
+    if not pieces:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
+def sessionize_append(
+    new_events: rd.Dataset,
+    state_dir: str,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    run_id: Optional[str] = None,
+    strict: bool = True,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Fold one appended event chunk into the session state; return the
+    updated complete sessions view (closed ∪ open tails).
+
+    ``run_id`` names the chunk for idempotent resume: a run whose id is
+    already recorded returns the current view without reprocessing.
+    """
+    from ..streams import sessionize
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    # each join partition pins an aggregator actor — size to the cluster
+    # (and use fractional CPUs) or a 4-CPU session starves (util.py:21)
+    npart = num_partitions or join_partitions()
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs_path = os.path.join(state_dir, "_RUNS.jsonl")
+    run_id = run_id if run_id is not None else str(len(_runs(runs_path)))
+    if run_id in _runs(runs_path):
+        return sessionize_state_read(state_dir)
+
+    gap_us = int(gap_seconds * 1_000_000)
+    new_sess = sessionize(
+        new_events, gap_seconds, user_col=user_col, ts_col=ts_col
+    ).materialize()
+    if new_sess.count() == 0:
+        _record_run(runs_path, run_id)
+        return sessionize_state_read(state_dir)
+
+    # per-user chunk summary: session count + the first session's start
+    # (sessions are time-ordered per user, so Min(start_us) IS session 1's)
+    from ray.data.aggregate import Max, Min
+
+    per_user = new_sess.groupby("user_id").aggregate(
+        Max("session_id", alias_name="max_sid"),
+        Min("start_us", alias_name="first_start"),
+    )
+
+    tails = _read_tails(state_dir)
+    have_tails = tails is not None and tails.count() > 0
+    if have_tails:
+        t = tails.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "t_sid": b["session_id"],
+                    "t_n": b["n_events"],
+                    "t_start": b["start_us"],
+                    "t_end": b["end_us"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        per_user = per_user.join(
+            t,
+            "left_outer",
+            npart,
+            on=("user_id",),
+            aggregator_ray_remote_args=JOIN_AGG_ARGS,
+        )
+
+        def stitch(batch: pa.Table) -> pa.Table:
+            t_end = batch["t_end"].to_numpy(zero_copy_only=False)
+            has_tail = ~pa.compute.is_null(batch["t_end"]).to_numpy(
+                zero_copy_only=False
+            )
+            first = batch["first_start"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if strict and has_tail.any():
+                bad = has_tail & (
+                    first < np.where(has_tail, t_end, np.iinfo(np.int64).min)
+                )
+                if bad.any():
+                    u = batch["user_id"].to_numpy(zero_copy_only=False)[bad][:5]
+                    raise ValueError(
+                        "sessionize_append: out-of-order append for users "
+                        f"{u.tolist()} — chunk events predate the saved tail; "
+                        "the append-log contract requires per-user "
+                        "non-decreasing time across chunks"
+                    )
+            t_sid = np.where(
+                has_tail, batch["t_sid"].to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)
+            t_end_i = np.where(has_tail, t_end, np.iinfo(np.int64).min).astype(
+                np.int64
+            )
+            merge = has_tail & (first - t_end_i <= gap_us)
+            offset = t_sid - merge.astype(np.int64)
+            t_n = np.where(
+                has_tail, batch["t_n"].to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)
+            t_start = np.where(
+                has_tail, batch["t_start"].to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "max_sid": batch["max_sid"],
+                    "offset": pa.array(offset, pa.int64()),
+                    "merge": pa.array(merge),
+                    "m_start": pa.array(t_start, pa.int64()),
+                    "m_n": pa.array(np.where(merge, t_n, 0), pa.int64()),
+                    # a tail that does NOT merge is closed by this chunk —
+                    # carry its fields so it lands in the closed partition
+                    # instead of silently vanishing from state
+                    "tail_closed": pa.array(has_tail & ~merge),
+                    "t_sid": pa.array(t_sid, pa.int64()),
+                    "t_n": pa.array(t_n, pa.int64()),
+                    "t_start": pa.array(t_start, pa.int64()),
+                    "t_end": pa.array(t_end_i, pa.int64()),
+                }
+            )
+
+        per_user = per_user.map_batches(stitch, batch_format="pyarrow")
+    else:
+
+        def no_tail(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "max_sid": batch["max_sid"],
+                    "offset": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "merge": pa.array(np.zeros(n, bool)),
+                    "m_start": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "m_n": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
+            )
+
+        per_user = per_user.map_batches(no_tail, batch_format="pyarrow")
+
+    per_user = per_user.materialize()
+    adj = new_sess.join(
+        per_user,
+        "inner",
+        npart,
+        on=("user_id",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sid = batch["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offset = batch["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        merge = batch["merge"].to_numpy(zero_copy_only=False).astype(bool)
+        is_first = sid == 1
+        start = batch["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ev = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m_start = batch["m_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m_n = batch["m_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        merged_first = merge & is_first
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_id": pa.array(sid + offset, pa.int64()),
+                "n_events": pa.array(
+                    n_ev + np.where(merged_first, m_n, 0), pa.int64()
+                ),
+                "start_us": pa.array(
+                    np.where(merged_first, m_start, start), pa.int64()
+                ),
+                "end_us": batch["end_us"],
+                "_is_tail": pa.array(
+                    sid
+                    == batch["max_sid"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    adj = adj.map_batches(finalize, batch_format="pyarrow").materialize()
+
+    def _split(flag: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["_is_tail"], flag)
+            return batch.filter(mask).select(_SESSION_COLS)
+
+        return f
+
+    closed = adj.map_batches(_split(False), batch_format="pyarrow")
+    new_tails = adj.map_batches(_split(True), batch_format="pyarrow")
+
+    if have_tails:
+
+        def closed_tails(batch: pa.Table) -> pa.Table:
+            m = batch["tail_closed"].to_numpy(zero_copy_only=False).astype(bool)
+            sel = batch.filter(pa.array(m))
+            return pa.table(
+                {
+                    "user_id": sel["user_id"],
+                    "session_id": sel["t_sid"],
+                    "n_events": sel["t_n"],
+                    "start_us": sel["t_start"],
+                    "end_us": sel["t_end"],
+                }
+            )
+
+        closed = closed.union(
+            per_user.map_batches(closed_tails, batch_format="pyarrow")
+        )
+
+    # tails of users untouched by this chunk stay open
+    if have_tails:
+        seen = per_user.select_columns(["user_id"])
+        untouched = tails.select_columns(_SESSION_COLS).join(
+            seen,
+            "left_anti",
+            npart,
+            on=("user_id",),
+            aggregator_ray_remote_args=JOIN_AGG_ARGS,
+        )
+        # left_anti with an empty probe side is safe (seen is non-empty here:
+        # new_sess has rows ⇒ per_user has rows)
+        new_tails = new_tails.union(untouched)
+
+    closed = closed.materialize()
+    if closed.count() > 0:
+        # write_parquet of an EMPTY dataset creates no files/dir, which
+        # would break the tmp→rename protocol — skip; the run record
+        # alone is the lineage for an all-tails chunk
+        write_partition(closed, os.path.join(state_dir, "closed"), run_id)
+    _write_tails(state_dir, new_tails.materialize(), run_id)
+    _record_run(runs_path, run_id)
+    return sessionize_state_read(state_dir)
+
+
+def _runs(runs_path: str) -> set:
+    if not os.path.exists(runs_path):
+        return set()
+    with open(runs_path, encoding="utf-8") as f:
+        return {json.loads(line)["run"] for line in f if line.strip()}
+
+
+def _record_run(runs_path: str, run_id: str) -> None:
+    with open(runs_path, "a", encoding="utf-8") as f:
+        f.write(json.dumps({"run": run_id}) + "\n")

@@ -701,6 +701,16 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (ratio IDF: (tf·N)/df — integer
+    products + one IEEE division are bit-identical cross-engine; the
+    classic log-IDF variant is pytest-gated against numpy instead)."""
+    from osmptparser_ray.text.analysis import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct count (round-4): the mergeable cardinality
     sketch (one streaming pass, 4 KB registers, no shuffle) gated INSIDE
@@ -1874,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_langid,
         "fingerprint": _q_fingerprint,
         "vocab_top": _q_vocab_top,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
@@ -2083,6 +2094,25 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM ("
             "SELECT o_orderkey, ((o_orderkey % 2147483648) * 2654435761 + 7) "
             "% 4294967296 AS h FROM orders)"
+        ),
+        # score = CAST(tf*N AS DOUBLE)/df — same operation ORDER as the
+        # engine ((tf·N) exact below 2^53, ONE rounded division) so the
+        # float hash-matches; ties broken by token asc in both
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) "
+            "SELECT doc_id, rank, token, tf, df, score FROM ("
+            "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "CAST(tf.tf * n.n AS DOUBLE) / df.df AS score, "
+            "CAST(row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token ASC) "
+            "AS BIGINT) AS rank "
+            "FROM tf JOIN df USING (token) CROSS JOIN n) WHERE rank <= 3"
         ),
         "vocab_top": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("

@@ -1,7 +1,9 @@
 from .analysis import (
     add_bpe_token_count,
     add_word_diversity,
+    doc_term_counts,
     scrub_pattern,
+    tfidf_top_terms,
     token_frequencies,
     add_fingerprint,
     add_rolling_fingerprints,
@@ -25,7 +27,9 @@ from .pack import pack_sequences
 __all__ = [
     "add_bpe_token_count",
     "add_word_diversity",
+    "doc_term_counts",
     "scrub_pattern",
+    "tfidf_top_terms",
     "token_frequencies",
     "pack_sequences",
     "add_fingerprint",

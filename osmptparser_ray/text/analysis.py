@@ -345,3 +345,132 @@ def token_frequencies(
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return merged.sort(["cnt", "token"], descending=[True, False]).limit(top_n)
+
+
+def doc_term_counts(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-(doc, token) term frequencies — the TF side of TF-IDF.
+
+    Tokens: lowercased ``[a-z0-9_]+`` runs (the ``vocab_top`` convention,
+    so the SQL oracle is ``unnest(regexp_extract_all(lower(text),
+    '[a-z0-9_]+'))``). Fully vectorized per batch — lower + one
+    ``replace_substring_regex`` (non-token runs → space) + one
+    ``split_pattern`` + ``dictionary_encode`` + lexsort run-length
+    counting; no per-row Python (the ``add_word_diversity`` shape).
+
+    Output: (id_col, token, tf) — one row per distinct (doc, token).
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(txt), pattern=r"[^a-z0-9_]+", replacement=" "
+        )
+        words = pc.split_pattern(norm, pattern=" ")
+        counts = np.asarray(
+            pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        flat = words.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        if len(row) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        order = np.lexsort((codes, row))
+        r_s, c_s = row[order], codes[order]
+        new = np.ones(len(r_s), bool)
+        new[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(r_s)]).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[r_s[starts]]).cast(batch[id_col].type),
+                "token": vocab.take(pa.array(c_s[starts])),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def tfidf_top_terms(
+    docs: rd.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    idf: str = "ratio",
+    n_docs: int | None = None,
+) -> rd.Dataset:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Output: (doc_id, rank, token, tf, df, score).
+
+    Physical plan — every stage bounded, nothing broadcast:
+
+    1. ``doc_term_counts`` → (doc, token, tf) rows,
+    2. DF = groupby(token) row count (each (doc, token) appears once, so
+       a plain Count IS the document frequency) — vocab-sized,
+    3. tf ⋈ df hash join on token (the honest big-big path: a web-scale
+       vocabulary does not fit a broadcast),
+    4. score per row, then the sort-scan ``topk_per_group`` per doc.
+
+    ``idf="ratio"`` scores ``(tf·N)/df`` — the raw-ratio IDF variant,
+    chosen as the DEFAULT because integer products below 2^53 followed by
+    one exactly-rounded IEEE division are bit-identical across engines
+    (the dyadic-oracle rule from BASELINE.md); ``idf="log"`` scores
+    ``tf·ln(N/df)`` (the classic form) but transcendental libm results
+    are not cross-engine reproducible, so it is pytest-gated against a
+    numpy reference instead of a SQL hash.
+    """
+    import numpy as np
+
+    from ..stages.relational import topk_per_group
+    from ..util import JOIN_AGG_ARGS, join_partitions
+
+    from ray.data.aggregate import Count
+
+    n = int(n_docs if n_docs is not None else docs.count())
+    tf = doc_term_counts(docs, text_col, id_col).materialize()
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf.join(
+        df,
+        "inner",
+        join_partitions(),
+        on=("token",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_ = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if idf == "ratio":
+            s = (tf_ * n).astype(np.float64) / df_
+        elif idf == "log":
+            s = tf_ * np.log(n / df_.astype(np.float64))
+        else:
+            raise ValueError(f"unknown idf variant: {idf!r}")
+        return batch.append_column("score", pa.array(s, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = topk_per_group(
+        scored, id_col, "score", k, tiebreak_col="token", descending=True
+    )
+    return top.select_columns([id_col, "rank", "token", "tf", "df", "score"])

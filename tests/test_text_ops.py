@@ -471,3 +471,108 @@ class TestWordDiversityNulls:
         rows = {r["doc_id"]: r for r in add_word_diversity(ds).take_all()}
         assert rows[1]["n_words"] == 2
         assert rows[2]["n_words"] == 0 and rows[2]["n_distinct"] == 0
+
+
+class TestTfidf:
+    """TF-IDF top terms vs an independent scalar/numpy reference."""
+
+    def _docs(self, texts, ids=None, blocks=3):
+        import ray.data as rd
+        import pyarrow as pa
+
+        ids = ids if ids is not None else list(range(len(texts)))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(blocks)
+
+    def _reference(self, texts, k, idf):
+        """Scalar reference: regex findall per doc, dict counting."""
+        import re
+        from collections import Counter
+
+        import numpy as np
+
+        pat = re.compile(r"[a-z0-9_]+")
+        tfs = [Counter(pat.findall((t or "").lower())) for t in texts]
+        df = Counter()
+        for c in tfs:
+            df.update(c.keys())
+        n = len(texts)
+        out = {}
+        for i, c in enumerate(tfs):
+            scored = []
+            for tok, tf in c.items():
+                s = (
+                    float(tf * n) / df[tok]
+                    if idf == "ratio"
+                    else tf * np.log(n / float(df[tok]))
+                )
+                scored.append((-s, tok, tf, df[tok], s))
+            scored.sort()
+            out[i] = [
+                (r + 1, tok, tf, dfv, s)
+                for r, (_, tok, tf, dfv, s) in enumerate(scored[:k])
+            ]
+        return out
+
+    def test_matches_reference_ratio(self, ray_session):
+        from osmptparser_ray.text.analysis import tfidf_top_terms
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog ate the cat food",
+            "quantum flux capacitor overload",
+            "cat cat cat dog",
+            "",
+            "the the the",
+        ]
+        got = {}
+        for r in tfidf_top_terms(self._docs(texts), k=3).take_all():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["token"], r["tf"], r["df"], r["score"])
+            )
+        ref = self._reference(texts, 3, "ratio")
+        for i in range(len(texts)):
+            assert sorted(got.get(i, [])) == ref[i], f"doc {i}"
+
+    def test_log_variant_matches_numpy(self, ray_session):
+        from osmptparser_ray.text.analysis import tfidf_top_terms
+
+        texts = ["alpha beta beta", "alpha gamma", "beta delta delta delta"]
+        got = {}
+        for r in tfidf_top_terms(self._docs(texts), k=2, idf="log").take_all():
+            got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+        ref = self._reference(texts, 2, "log")
+        for i in range(len(texts)):
+            want = [(rk, tok, s) for rk, tok, _tf, _df, s in ref[i]]
+            assert sorted(got.get(i, [])) == sorted(want)
+
+    def test_block_invariance_and_nulls(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import tfidf_top_terms
+
+        texts = ["x y z", None, "x x q", "z q r s", "y"]
+        ids = [10, 20, 30, 40, 50]
+
+        def run(blocks):
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "text": pa.array(texts, pa.string()),
+                    }
+                )
+            ).repartition(blocks)
+            return sorted(
+                (r["doc_id"], r["rank"], r["token"], r["tf"], r["df"], r["score"])
+                for r in tfidf_top_terms(ds, k=2).take_all()
+            )
+
+        assert run(1) == run(5)

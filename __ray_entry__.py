@@ -701,6 +701,42 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_intersect_distinct(sf_dir: str):
+    """SQL INTERSECT: nation keys present in customer ∩ supplier via the
+    join-free side-flag aggregation (stages/relational.py)."""
+    from osmptparser_ray.stages.relational import intersect_distinct
+
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return intersect_distinct(c, s, "nationkey")
+
+
+def _q_except_distinct(sf_dir: str):
+    """SQL EXCEPT: high-balance customers who never placed a finished
+    order — the NOT-IN-with-dedup staple, via the same side-flag plan."""
+    from osmptparser_ray.stages.relational import except_distinct
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"custkey": t.filter(pc.greater(t["c_acctbal"], 9000.0))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: pa.table(
+            {"custkey": t.filter(pc.equal(t["o_orderstatus"], "F"))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return except_distinct(c, o, "custkey")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document (ratio IDF: (tf·N)/df — integer
     products + one IEEE division are bit-identical cross-engine; the
@@ -1878,6 +1914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_dsl_events": _q_filter_dsl,
         "window_tumbling": _q_window_tumbling,
         "union_distinct": _q_union_distinct,
+        "intersect_distinct": _q_intersect_distinct,
+        "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_tokens,
         "quality_scores": _q_quality,
@@ -2094,6 +2132,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM ("
             "SELECT o_orderkey, ((o_orderkey % 2147483648) * 2654435761 + 7) "
             "% 4294967296 AS h FROM orders)"
+        ),
+        "intersect_distinct": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+            "INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier"
+        ),
+        "except_distinct": (
+            "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000 "
+            "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
         ),
         # score = CAST(tf*N AS DOUBLE)/df — same operation ORDER as the
         # engine ((tf·N) exact below 2^53, ONE rounded division) so the

@@ -1738,3 +1738,71 @@ def pivot_agg(
         .groupby(group_col)
         .aggregate(*[Sum(n, alias_name=n) for n in out_names])
     )
+
+
+def _distinct_keys(ds: rd.Dataset, on: list[str], flag: str) -> rd.Dataset:
+    """Per-batch local key dedup (combiner) + a constant side flag."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.select(on).group_by(on).aggregate([])
+        return t.append_column(flag, pa.array(np.ones(t.num_rows, np.int8)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _set_op(
+    a: rd.Dataset, b: rd.Dataset, on, want_b: bool
+) -> rd.Dataset:
+    """Shared plan for INTERSECT/EXCEPT DISTINCT — no join operator:
+
+    1. each side deduplicates its keys PER BATCH (combiner: the shuffle
+       carries at most the batch's distinct keys) and tags a side flag,
+    2. one union + groupby(keys) with Max(side) aggregates answers
+       "seen in a? seen in b?" per key,
+    3. a vectorized filter keeps keys matching the op's truth table.
+
+    One all-to-all over deduplicated keys total — strictly cheaper than
+    the hash-join realization, and hot keys collapse in step 1.
+    """
+    from ray.data.aggregate import Max
+
+    cols = [on] if isinstance(on, str) else list(on)
+    ta = _distinct_keys(a, cols, "in_a")
+    tb = _distinct_keys(b, cols, "in_b")
+
+    def zero(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                name, pa.array(np.zeros(batch.num_rows, np.int8))
+            )
+
+        return f
+
+    ta = ta.map_batches(zero("in_b"), batch_format="pyarrow")
+    tb = tb.map_batches(zero("in_a"), batch_format="pyarrow").select_columns(
+        cols + ["in_a", "in_b"]
+    )
+    both = ta.select_columns(cols + ["in_a", "in_b"]).union(tb)
+    agg = both.groupby(cols).aggregate(
+        Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b")
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        in_a = pc.equal(batch["in_a"], 1)
+        in_b = pc.equal(batch["in_b"], 1)
+        keep = pc.and_(in_a, in_b) if want_b else pc.and_(in_a, pc.invert(in_b))
+        return batch.filter(keep).select(cols)
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def intersect_distinct(a: rd.Dataset, b: rd.Dataset, on) -> rd.Dataset:
+    """SQL ``INTERSECT`` (distinct keys present in BOTH inputs).
+
+    ``on`` is a column name or list; output columns = the keys."""
+    return _set_op(a, b, on, want_b=True)
+
+
+def except_distinct(a: rd.Dataset, b: rd.Dataset, on) -> rd.Dataset:
+    """SQL ``EXCEPT`` (distinct keys of ``a`` absent from ``b``)."""
+    return _set_op(a, b, on, want_b=False)

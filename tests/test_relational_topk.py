@@ -375,3 +375,55 @@ class TestRunningAggStringKeys:
         )
         assert (out["running_n"].values == ref["running_n"].values).all()
         assert (out["running_sum"].values == ref["running_sum"].values).all()
+
+
+class TestSetOps:
+    def _ds(self, rows, cols):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({c: pa.array([r[i] for r in rows]) for i, c in enumerate(cols)})
+        ).repartition(3)
+
+    def test_intersect_and_except_single_key(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            except_distinct,
+            intersect_distinct,
+        )
+
+        a = self._ds([[1], [2], [2], [3], [5]], ["k"])
+        b = self._ds([[2], [3], [3], [4]], ["k"])
+        inter = sorted(r["k"] for r in intersect_distinct(a, b, "k").take_all())
+        assert inter == [2, 3]
+        exc = sorted(r["k"] for r in except_distinct(a, b, "k").take_all())
+        assert exc == [1, 5]
+
+    def test_multi_column_keys(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            except_distinct,
+            intersect_distinct,
+        )
+
+        a = self._ds([[1, "x"], [1, "y"], [2, "x"], [1, "y"]], ["k", "s"])
+        b = self._ds([[1, "y"], [2, "y"], [2, "x"]], ["k", "s"])
+        inter = sorted(
+            (r["k"], r["s"]) for r in intersect_distinct(a, b, ["k", "s"]).take_all()
+        )
+        assert inter == [(1, "y"), (2, "x")]
+        exc = sorted(
+            (r["k"], r["s"]) for r in except_distinct(a, b, ["k", "s"]).take_all()
+        )
+        assert exc == [(1, "x")]
+
+    def test_disjoint_and_identical(self, ray_session):
+        from osmptparser_ray.stages.relational import (
+            except_distinct,
+            intersect_distinct,
+        )
+
+        a = self._ds([[1], [2]], ["k"])
+        b = self._ds([[3], [4]], ["k"])
+        assert intersect_distinct(a, b, "k").count() == 0
+        assert sorted(r["k"] for r in except_distinct(a, b, "k").take_all()) == [1, 2]
+        assert sorted(r["k"] for r in intersect_distinct(a, a, "k").take_all()) == [1, 2]
+        assert except_distinct(a, a, "k").count() == 0

@@ -701,6 +701,24 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-salted hash join: orders ⋈ customer on custkey with a LOW hot
+    threshold so real keys actually take the salted path (each custkey
+    repeats ~10× in orders; threshold 8 salts the busier half) — output
+    must equal the plain SQL inner join exactly."""
+    from osmptparser_ray.stages.relational import salted_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = salted_join(o, c, "o_custkey", salt=4, hot_threshold=8)
+    return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
 def _q_intersect_distinct(sf_dir: str):
     """SQL INTERSECT: nation keys present in customer ∩ supplier via the
     join-free side-flag aggregation (stages/relational.py)."""
@@ -1915,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _q_window_tumbling,
         "union_distinct": _q_union_distinct,
         "intersect_distinct": _q_intersect_distinct,
+        "salted_join": _q_salted_join,
         "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_tokens,
@@ -2132,6 +2151,10 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split FROM ("
             "SELECT o_orderkey, ((o_orderkey % 2147483648) * 2654435761 + 7) "
             "% 4294967296 AS h FROM orders)"
+        ),
+        "salted_join": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
         ),
         "intersect_distinct": (
             "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "

@@ -1806,3 +1806,130 @@ def intersect_distinct(a: rd.Dataset, b: rd.Dataset, on) -> rd.Dataset:
 def except_distinct(a: rd.Dataset, b: rd.Dataset, on) -> rd.Dataset:
     """SQL ``EXCEPT`` (distinct keys of ``a`` absent from ``b``)."""
     return _set_op(a, b, on, want_b=False)
+
+
+def salted_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    salt: int = 8,
+    hot_threshold: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    left_suffix: Optional[str] = None,
+    right_suffix: Optional[str] = "_r",
+) -> rd.Dataset:
+    """Inner hash join with HOT-KEY SALTING — the skew escape hatch for a
+    big-big join whose key distribution has heavy hitters (one domain =
+    30% of pages): a plain hash join sends every row of a hot key to ONE
+    aggregator, so the slowest partition is the whole runtime.
+
+    Plan (the dedup ``_salted_bucket_self_join`` pattern generalized to a
+    binary join):
+
+    1. detect hot LEFT keys — per-batch partial counts → vocab-sized
+       groupby-Sum → keys above ``hot_threshold`` (default: 8× the mean
+       per-key count) collected + broadcast (contract: the HOT set is
+       small — heavy hitters by definition),
+    2. hot left rows scatter over ``salt`` sub-keys (position mod salt;
+       any assignment is correct — salting only redistributes), cold
+       rows keep sub-key 0,
+    3. hot RIGHT rows are REPLICATED once per sub-key (repeat/take,
+       vectorized); cold rows pass through once,
+    4. one ``Dataset.join`` on ``(on, _salt)``; the sub-key splits every
+       hot key's work across ``salt`` aggregators. Output rows == the
+       plain join's exactly (each (l, r) pair of a hot key meets at
+       exactly the sub-key of its left row).
+
+    Contract: keys hot on the LEFT; the right side's rows for those keys
+    are multiplied by ``salt`` (keep right the smaller-per-key side).
+    Both-sides-hot keys produce quadratic output regardless of engine —
+    that is the join's semantics, not a skew artifact.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..util import JOIN_AGG_ARGS, cached_get, join_partitions
+
+    npart = num_partitions or join_partitions()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch[on].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {on: pa.array(u), "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    left = left.materialize()
+    counts = (
+        left.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()
+    )
+    if hot_threshold is None:
+        import pandas as pd  # noqa: F401  (Sum of a small table)
+
+        tot = counts.sum("n") or 0
+        n_keys = max(counts.count(), 1)
+        hot_threshold = max(2, int(8 * tot / n_keys))
+    hot_parts = [
+        b[on].to_numpy(zero_copy_only=False)
+        for b in counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], hot_threshold)).select([on]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    ]
+    hot = np.sort(np.concatenate(hot_parts)) if hot_parts else np.empty(0)
+    hot_ref = ray.put(hot) if len(hot) else None
+
+    def _is_hot(keys: np.ndarray, hot_arr: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(hot_arr, keys)
+        idx[idx >= len(hot_arr)] = len(hot_arr) - 1
+        return hot_arr[idx] == keys
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        s = np.zeros(n, np.int32)
+        if hot_ref is not None and n:
+            keys = batch[on].to_numpy(zero_copy_only=False)
+            m = _is_hot(keys, cached_get(hot_ref))
+            s[m] = np.arange(int(m.sum()), dtype=np.int32) % salt
+        return batch.append_column("_salt", pa.array(s, pa.int32()))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if hot_ref is None or not n:
+            return batch.append_column(
+                "_salt", pa.array(np.zeros(n, np.int32), pa.int32())
+            )
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        m = _is_hot(keys, cached_get(hot_ref))
+        cold_idx = np.flatnonzero(~m)
+        hot_idx = np.flatnonzero(m)
+        row_idx = np.concatenate([cold_idx, np.repeat(hot_idx, salt)])
+        s = np.concatenate(
+            [
+                np.zeros(len(cold_idx), np.int32),
+                np.tile(np.arange(salt, dtype=np.int32), len(hot_idx)),
+            ]
+        )
+        return batch.take(pa.array(row_idx)).append_column(
+            "_salt", pa.array(s, pa.int32())
+        )
+
+    l_s = left.map_batches(salt_left, batch_format="pyarrow")
+    r_s = right.map_batches(salt_right, batch_format="pyarrow")
+    joined = l_s.join(
+        r_s,
+        "inner",
+        npart,
+        on=(on, "_salt"),
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    drop = [c for c in joined.columns() if c.startswith("_salt")]
+    return joined.drop_columns(drop)

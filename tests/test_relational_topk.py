@@ -427,3 +427,58 @@ class TestSetOps:
         assert sorted(r["k"] for r in except_distinct(a, b, "k").take_all()) == [1, 2]
         assert sorted(r["k"] for r in intersect_distinct(a, a, "k").take_all()) == [1, 2]
         assert except_distinct(a, a, "k").count() == 0
+
+
+class TestSaltedJoin:
+    def _skewed(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        # one key = 50% of rows (degenerate hot key), rest uniform
+        keys = np.where(rng.random(2000) < 0.5, 7, rng.integers(0, 200, 2000))
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "lv": pa.array(np.arange(2000, dtype=np.int64)),
+                }
+            )
+        ).repartition(4)
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(0, 200, dtype=np.int64)),
+                    "rv": pa.array(np.arange(1000, 1200, dtype=np.int64)),
+                }
+            )
+        ).repartition(2)
+        return left, right
+
+    def test_parity_with_plain_join(self, ray_session):
+        from osmptparser_ray.stages.relational import salted_join
+
+        left, right = self._skewed()
+        plain = left.join(right, "inner", 2, on=("k",))
+        sj = salted_join(left, right, "k", salt=4, hot_threshold=100)
+        a = sorted((r["k"], r["lv"], r["rv"]) for r in plain.take_all())
+        b = sorted((r["k"], r["lv"], r["rv"]) for r in sj.take_all())
+        assert a == b
+        assert len(a) > 1000  # hot key actually joined
+
+    def test_no_hot_keys_path(self, ray_session):
+        from osmptparser_ray.stages.relational import salted_join
+
+        left, right = self._skewed()
+        sj = salted_join(left, right, "k", salt=4, hot_threshold=10**9)
+        plain = left.join(right, "inner", 2, on=("k",))
+        assert sorted(
+            (r["k"], r["lv"], r["rv"]) for r in sj.take_all()
+        ) == sorted((r["k"], r["lv"], r["rv"]) for r in plain.take_all())
+
+    def test_auto_threshold_detects_degenerate_key(self, ray_session):
+        from osmptparser_ray.stages.relational import salted_join
+
+        left, right = self._skewed()
+        sj = salted_join(left, right, "k", salt=4)  # auto threshold
+        plain = left.join(right, "inner", 2, on=("k",))
+        assert sj.count() == plain.count()

@@ -755,6 +755,17 @@ def _q_except_distinct(sf_dir: str):
     return except_distinct(c, o, "custkey")
 
 
+def _q_bigram_top(sf_dir: str):
+    """Corpus top-50 bigrams (phrase statistics; n-grams never cross doc
+    boundaries). Oracle: list_zip of EXPLICIT-bounds slices — DuckDB's
+    ``l[:-1]`` INCLUDES the last element, so ``l[1:len(l)-1]`` is required
+    (list_zip null-pads otherwise and fabricates NULL bigrams)."""
+    from osmptparser_ray.text.analysis import ngram_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return ngram_frequencies(ds, n=2, top_n=50)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document (ratio IDF: (tf·N)/df — integer
     products + one IEEE division are bit-identical cross-engine; the
@@ -1942,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "vocab_top": _q_vocab_top,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_top": _q_bigram_top,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
@@ -2182,6 +2194,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token ASC) "
             "AS BIGINT) AS rank "
             "FROM tf JOIN df USING (token) CROSS JOIN n) WHERE rank <= 3"
+        ),
+        "bigram_top": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS l "
+            "FROM documents), pairs AS (SELECT unnest(list_zip(l[1:len(l)-1], "
+            "l[2:len(l)])) AS pr FROM toks WHERE len(l) >= 2) "
+            "SELECT pr[1] || ' ' || pr[2] AS ngram, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM pairs GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50"
         ),
         "vocab_top": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("

@@ -206,6 +206,12 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "hll_distinct",
         "pack_sequences",
         "distance_join",
+        # round-4 late-session operators
+        "ann_bigbig_join",
+        "tfidf_top_terms",
+        "salted_join",
+        "sessionize_incremental",
+        "intersect_distinct",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

@@ -474,3 +474,76 @@ def tfidf_top_terms(
         scored, id_col, "score", k, tiebreak_col="token", descending=True
     )
     return top.select_columns([id_col, "rank", "token", "tf", "df", "score"])
+
+
+def ngram_frequencies(
+    ds: rd.Dataset, col: str = "text", n: int = 2, top_n: int = 100
+) -> rd.Dataset:
+    """Corpus top-N word n-grams (phrase statistics — the bigram/trigram
+    staple of tokenizer training and boilerplate detection).
+
+    Tokens: the ``vocab_top`` convention (lowercased ``[a-z0-9_]+``);
+    n-grams never cross document boundaries. Vectorized per batch: one
+    lower+regex-replace+split, n shifted views of the flat token array
+    joined by ``binary_join_element_wise`` (C++ kernel, no Python
+    string ops), a row-alignment mask, then ``value_counts`` — the
+    shuffle carries each batch's DISTINCT n-grams only, merged by one
+    vocab-sized groupby-Sum (the ``token_frequencies`` scale shape).
+    Deterministic ties: cnt desc, ngram asc.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch[col].combine_chunks(), "")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(txt), pattern=r"[^a-z0-9_]+", replacement=" "
+        )
+        words = pc.split_pattern(norm, pattern=" ")
+        counts = np.asarray(
+            pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        flat = words.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        if total < n:
+            return empty
+        length = total - n + 1
+        # an n-gram starting at i is valid iff token i+n-1 is the same doc
+        valid = row[:length] == row[n - 1 :]
+        if not valid.any():
+            return empty
+        parts = [flat.slice(k, length) for k in range(n)]
+        joined = (
+            parts[0]
+            if n == 1
+            else pc.binary_join_element_wise(*parts, " ")
+        )
+        joined = joined.filter(pa.array(valid))
+        vc = pc.value_counts(joined)
+        return pa.table(
+            {
+                "ngram": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return merged.sort(["cnt", "ngram"], descending=[True, False]).limit(top_n)

@@ -576,3 +576,66 @@ class TestTfidf:
             )
 
         assert run(1) == run(5)
+
+
+class TestNgramFrequencies:
+    def test_bigrams_match_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import ngram_frequencies
+
+        texts = [
+            "the cat sat the cat",
+            "a b",
+            "x",
+            None,
+            "The CAT sat! the cat...",
+            "",
+        ]
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(3)
+        got = sorted(
+            (r["ngram"], r["cnt"]) for r in ngram_frequencies(ds, n=2, top_n=50).take_all()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+        want = sorted(
+            con.execute(
+                "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS l "
+                "FROM documents), pairs AS (SELECT unnest(list_zip(l[1:len(l)-1], "
+                "l[2:len(l)])) AS pr FROM toks WHERE len(l) >= 2) "
+                "SELECT pr[1] || ' ' || pr[2] AS ngram, CAST(count(*) AS BIGINT) AS cnt "
+                "FROM pairs GROUP BY ngram"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_trigram_and_unigram(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import ngram_frequencies
+
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(["a b c a b c", "b c a"], pa.string())})
+        ).repartition(2)
+        tri = {r["ngram"]: r["cnt"] for r in ngram_frequencies(ds, n=3).take_all()}
+        assert tri == {"a b c": 2, "b c a": 2, "c a b": 1}
+        uni = {r["ngram"]: r["cnt"] for r in ngram_frequencies(ds, n=1).take_all()}
+        assert uni == {"a": 3, "b": 3, "c": 3}
+
+    def test_no_cross_doc_ngrams(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import ngram_frequencies
+
+        # one doc per block boundary: 'z' then 'w' must NOT form 'z w'
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(["z", "w"], pa.string())})
+        ).repartition(1)
+        assert ngram_frequencies(ds, n=2).count() == 0

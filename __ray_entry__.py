@@ -701,6 +701,28 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_zscore_outliers(sf_dir: str):
+    """Per-group z-score outlier gate (z=1) over an integer-valued column
+    — the EXACT-integer predicate (x·n−s)² > z²·(n·ss−s²) sidesteps float
+    mean/stddev drift entirely, so the row set hash-matches SQL."""
+    from osmptparser_ray.stages.relational import zscore_filter
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "l_returnflag": t["l_returnflag"],
+                "l_quantity": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return zscore_filter(li, "l_returnflag", "l_quantity", z=1)
+
+
 def _q_salted_join(sf_dir: str):
     """Skew-salted hash join: orders ⋈ customer on custkey with a LOW hot
     threshold so real keys actually take the salted path (each custkey
@@ -1945,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": _q_union_distinct,
         "intersect_distinct": _q_intersect_distinct,
         "salted_join": _q_salted_join,
+        "zscore_outliers": _q_zscore_outliers,
         "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_tokens,
@@ -2167,6 +2190,17 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "zscore_outliers": (
+            "WITH st AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS s, "
+            "SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity "
+            "FROM lineitem l JOIN st ON l.l_returnflag = st.g "
+            "WHERE (CAST(l_quantity AS BIGINT) * n - s) * "
+            "(CAST(l_quantity AS BIGINT) * n - s) > 1 * (n * ss - s * s)"
         ),
         "intersect_distinct": (
             "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "

@@ -1933,3 +1933,143 @@ def salted_join(
     )
     drop = [c for c in joined.columns() if c.startswith("_salt")]
     return joined.drop_columns(drop)
+
+
+def zscore_filter(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    z: int = 2,
+    *,
+    mode: str = "outliers",
+) -> rd.Dataset:
+    """Per-group z-score gate with an EXACT integer predicate — the
+    robust-stats outlier filter of a feature-quality stack, built so the
+    result is bit-identical across engines (no float mean/stddev drift).
+
+    Keeps rows where ``|x − μ_g| > z·σ_g`` (``mode="outliers"``) or the
+    complement (``"inliers"``), evaluated WITHOUT any float:
+
+        (x·n − s)² > z²·(n·ss − s²)
+
+    (multiply the z-score inequality through by n²σ²'s denominator; x
+    must be integer-valued — asserted). Plan: one vocab-sized stats
+    aggregate (n, Σx, Σx² per group via per-batch reduceat partials) →
+    broadcast (bounded-group contract, the grouped-HLL precedent) → one
+    vectorized filter pass. Integer-overflow bound ``n·max|x| < 3·10⁹``
+    per group is CHECKED at stats time (int64 headroom for the square);
+    beyond it use a float z-score variant at your own hash peril.
+    """
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Sum
+
+    if mode not in ("outliers", "inliers"):
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        x = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch[group_col].type),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        xi = x.astype(np.int64)
+        if not np.array_equal(xi, x):
+            raise ValueError(
+                "zscore_filter requires an integer-valued column "
+                f"({value_col} has fractional values)"
+            )
+        order = np.argsort(g, kind="stable")
+        g_s, x_s = g[order], xi[order]
+        bounds = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        n = np.diff(np.r_[bounds, len(g_s)]).astype(np.int64)
+        s = np.add.reduceat(x_s, bounds) if len(g_s) else np.empty(0, np.int64)
+        ss = (
+            np.add.reduceat(x_s * x_s, bounds)
+            if len(g_s)
+            else np.empty(0, np.int64)
+        )
+        mx = np.maximum.reduceat(np.abs(x_s), bounds)
+        return pa.table(
+            {
+                group_col: pa.array(g_s[bounds]),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(np.atleast_1d(s).astype(np.int64), pa.int64()),
+                "ss": pa.array(np.atleast_1d(ss).astype(np.int64), pa.int64()),
+                "mx": pa.array(np.atleast_1d(mx).astype(np.int64), pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            AggMax("mx", alias_name="mx"),
+        )
+        .materialize()
+    )
+    keys, ns, sums, sqs, mxs = [], [], [], [], []
+    for b in stats.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        keys.append(b[group_col].to_numpy(zero_copy_only=False))
+        ns.append(b["n"].to_numpy(zero_copy_only=False))
+        sums.append(b["s"].to_numpy(zero_copy_only=False))
+        sqs.append(b["ss"].to_numpy(zero_copy_only=False))
+        mxs.append(b["mx"].to_numpy(zero_copy_only=False))
+    if keys:
+        k = np.concatenate(keys)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        n_arr = np.concatenate(ns)[order].astype(np.int64)
+        s_arr = np.concatenate(sums)[order].astype(np.int64)
+        ss_arr = np.concatenate(sqs)[order].astype(np.int64)
+        mx_arr = np.concatenate(mxs)[order].astype(np.int64)
+    else:
+        k = np.empty(0)
+        n_arr = s_arr = ss_arr = mx_arr = np.empty(0, np.int64)
+    # int64 headroom, checked with Python-int exactness on the tiny stats
+    # table: |x·n − s| ≤ 2·n·max|x| so lhs² needs (2·n·mx)² < 2^63, and the
+    # rhs needs z²·n·ss < 2^63
+    for nn_i, ss_i, mx_i, k_i in zip(
+        n_arr.tolist(), ss_arr.tolist(), mx_arr.tolist(), k.tolist()
+    ):
+        if nn_i and (
+            (2 * nn_i * max(mx_i, 1)) ** 2 >= 2**63
+            or int(z) * int(z) * nn_i * ss_i >= 2**63
+        ):
+            raise OverflowError(
+                f"zscore_filter: group {k_i!r} exceeds the exact-integer "
+                "predicate bound ((2·n·max|x|)² or z²·n·Σx² over int64) — "
+                "reduce scope or use a float variant"
+            )
+    stats_ref = ray.put((k, n_arr, s_arr, ss_arr))
+    z2 = int(z) * int(z)
+    want_out = mode == "outliers"
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kk, nn, ssum, ssq = cached_get(stats_ref)
+        if batch.num_rows == 0 or len(kk) == 0:
+            return batch if not want_out else batch.slice(0, 0)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        x = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(kk, g)
+        idx[idx >= len(kk)] = len(kk) - 1
+        n, s, ss = nn[idx], ssum[idx], ssq[idx]
+        lhs = x * n - s
+        lhs = lhs * lhs
+        rhs = z2 * (n * ss - s * s)
+        keep = lhs > rhs
+        if not want_out:
+            keep = ~keep
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -9,6 +9,7 @@ spanning many blocks, one group owning every block, empty input.
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -482,3 +483,71 @@ class TestSaltedJoin:
         sj = salted_join(left, right, "k", salt=4)  # auto threshold
         plain = left.join(right, "inner", 2, on=("k",))
         assert sj.count() == plain.count()
+
+
+class TestZscoreFilter:
+    def _ds(self, groups, vals):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(groups),
+                    "v": pa.array(np.asarray(vals, np.int64), pa.int64()),
+                    "rid": pa.array(np.arange(len(vals), dtype=np.int64)),
+                }
+            )
+        ).repartition(3)
+
+    def test_matches_numpy_reference(self, ray_session):
+        from osmptparser_ray.stages.relational import zscore_filter
+
+        rng = np.random.default_rng(11)
+        groups = rng.integers(0, 3, 300)
+        vals = rng.integers(0, 100, 300)
+        out = zscore_filter(self._ds(groups, vals), "g", "v", z=1)
+        got = sorted(r["rid"] for r in out.take_all())
+        want = []
+        for gi in range(3):
+            m = groups == gi
+            mu, sd = vals[m].mean(), vals[m].std()
+            want.extend(
+                int(r)
+                for r in np.arange(300)[m][np.abs(vals[m] - mu) > 1 * sd]
+            )
+        assert got == sorted(want)
+
+    def test_inliers_complement(self, ray_session):
+        from osmptparser_ray.stages.relational import zscore_filter
+
+        groups = np.zeros(50, np.int64)
+        vals = np.r_[np.full(48, 10), 1000, -1000]
+        ds = self._ds(groups, vals)
+        outs = {r["rid"] for r in zscore_filter(ds, "g", "v", z=2).take_all()}
+        ins = {r["rid"] for r in zscore_filter(ds, "g", "v", z=2, mode="inliers").take_all()}
+        assert outs == {48, 49}
+        assert outs | ins == set(range(50)) and not (outs & ins)
+
+    def test_fractional_values_raise(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import zscore_filter
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array([1, 1]),
+                    "v": pa.array([1.5, 2.0], pa.float64()),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="integer-valued|RayTaskError"):
+            zscore_filter(ds, "g", "v").take_all()
+
+    def test_string_groups(self, ray_session):
+        from osmptparser_ray.stages.relational import zscore_filter
+
+        groups = np.array(["a"] * 30 + ["b"] * 30)
+        vals = np.r_[np.full(29, 5), 500, np.full(29, 7), -400]
+        out = zscore_filter(self._ds(groups, vals), "g", "v", z=2)
+        assert sorted(r["rid"] for r in out.take_all()) == [29, 59]

@@ -701,6 +701,32 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_histogram(sf_dir: str):
+    """16-bin histogram of events.value over [0, 500): bin assignment is
+    floor((x−lo)/width) with clip — IEEE ops are exactly rounded, so an
+    oracle evaluating the SAME expression tree bins identically."""
+    from osmptparser_ray.stages.relational import histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+    return histogram(ev, "value", 0.0, 500.0, 16)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: P(keep) = ((doc_id mod
+    10)+1)/10 — integer-exact hash·denom < weight·2³² predicate,
+    reproducible across engines (quality-weighted corpus downsampling)."""
+    from osmptparser_ray.stages.relational import weighted_sample
+
+    def add_w(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("w", pa.array(ids % 10 + 1, pa.int64()))
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        add_w, batch_format="pyarrow"
+    )
+    return weighted_sample(docs, "doc_id", "w", 10).select_columns(["doc_id"])
+
+
 def _q_zscore_outliers(sf_dir: str):
     """Per-group z-score outlier gate (z=1) over an integer-valued column
     — the EXACT-integer predicate (x·n−s)² > z²·(n·ss−s²) sidesteps float
@@ -1968,6 +1994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_distinct": _q_intersect_distinct,
         "salted_join": _q_salted_join,
         "zscore_outliers": _q_zscore_outliers,
+        "histogram": _q_histogram,
+        "weighted_sample": _q_weighted_sample,
         "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_tokens,
@@ -2190,6 +2218,19 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "histogram": (
+            "WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / "
+            "((500.0 - 0.0) / 16)), 0), 15) AS BIGINT) AS bin FROM events "
+            "WHERE value IS NOT NULL) "
+            "SELECT bin, 0.0 + CAST(bin AS DOUBLE) * ((500.0 - 0.0) / 16) AS bin_lo, "
+            "0.0 + (CAST(bin AS DOUBLE) + 1.0) * ((500.0 - 0.0) / 16) AS bin_hi, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id FROM documents WHERE "
+            "(((doc_id % 2147483648) * 2654435761) % 4294967296) * 10 "
+            "< ((doc_id % 10) + 1) * 4294967296"
         ),
         "zscore_outliers": (
             "WITH st AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -2073,3 +2073,101 @@ def zscore_filter(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    *,
+    clip: bool = True,
+) -> rd.Dataset:
+    """Fixed-bin histogram: (bin, bin_lo, bin_hi, cnt), bins of width
+    (hi−lo)/nbins, deterministic cross-engine.
+
+    bin = floor((x − lo) / width) with out-of-range values clipped into
+    the edge bins (``clip=True``) or dropped. IEEE float ops are
+    individually exactly rounded, so as long as the ORACLE evaluates the
+    same expression tree (same subtraction, same division, same floor —
+    the BASELINE.md dyadic-constant rule generalized: identical op ORDER,
+    not just identical constants), bin assignment is bit-identical.
+
+    Plan: per-batch ``bincount`` partials (shuffle carries ≤ nbins rows
+    per batch) → one nbins-sized groupby-Sum. Edges are emitted from the
+    SAME float arithmetic (lo + bin·width) for oracle parity.
+    """
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        b = np.floor((x - lo) / width)
+        if clip:
+            b = np.clip(b, 0, nbins - 1)
+        else:
+            m = (b >= 0) & (b < nbins)
+            b = b[m]
+        b = b.astype(np.int64)
+        cnt = np.bincount(b, minlength=nbins).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt_part": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt_part", alias_name="cnt"))
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "bin": batch["bin"],
+                "bin_lo": pa.array(lo + b * width, pa.float64()),
+                "bin_hi": pa.array(lo + (b + 1.0) * width, pa.float64()),
+                "cnt": batch["cnt"],
+            }
+        )
+
+    return merged.map_batches(edges, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    denom: int,
+) -> rd.Dataset:
+    """Deterministic per-row Bernoulli sample with INTEGER weights:
+    row kept iff hash(id) · denom < weight · 2³², i.e. P(keep) = w/denom
+    — reproducible across engines and runs (the ``deterministic_sample``
+    hash extended to per-row rates; quality-weighted corpus downsampling
+    at 100 TB must be rerunnable).
+
+    Integer-exact: the 31-bit-masked Knuth hash times ``denom`` stays
+    below 2⁶³ for denom < 2¹⁹; weights above ``denom`` always keep.
+    """
+    if not (0 < denom < (1 << 19)):
+        raise ValueError("denom must be in (0, 2^19) for int64 exactness")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % (1 << 31)) * 2654435761) % (1 << 32)
+        # w ≥ denom always keeps; clip BEFORE the multiply so w·2³²
+        # cannot overflow int64 on adversarial weights
+        w = np.minimum(w, denom)
+        keep = h * denom < w * (1 << 32)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -551,3 +551,61 @@ class TestZscoreFilter:
         vals = np.r_[np.full(29, 5), 500, np.full(29, 7), -400]
         out = zscore_filter(self._ds(groups, vals), "g", "v", z=2)
         assert sorted(r["rid"] for r in out.take_all()) == [29, 59]
+
+
+class TestHistogram:
+    def test_matches_numpy(self, ray_session):
+        from osmptparser_ray.stages.relational import histogram
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(5, 3, 5000)
+        ds = rd.from_arrow(pa.table({"v": pa.array(x, pa.float64())})).repartition(4)
+        got = {
+            r["bin"]: r["cnt"] for r in histogram(ds, "v", 0.0, 10.0, 8).take_all()
+        }
+        width = 10.0 / 8
+        b = np.clip(np.floor((x - 0.0) / width), 0, 7).astype(int)
+        want = {i: int(c) for i, c in enumerate(np.bincount(b, minlength=8)) if c}
+        assert got == want
+        assert sum(got.values()) == 5000
+
+    def test_drop_mode_and_edges(self, ray_session):
+        from osmptparser_ray.stages.relational import histogram
+
+        x = np.array([-1.0, 0.0, 0.5, 1.0, 9.999, 10.0, 42.0])
+        ds = rd.from_arrow(pa.table({"v": pa.array(x, pa.float64())}))
+        rows = histogram(ds, "v", 0.0, 10.0, 10, clip=False).take_all()
+        got = {r["bin"]: r["cnt"] for r in rows}
+        # -1 dropped; 10.0 and 42.0 dropped (bin >= nbins); 0.0,0.5 -> 0; 1.0 -> 1; 9.999 -> 9
+        assert got == {0: 2, 1: 1, 9: 1}
+        for r in rows:
+            assert r["bin_lo"] == r["bin"] * 1.0 and r["bin_hi"] == (r["bin"] + 1) * 1.0
+
+
+class TestWeightedSample:
+    def test_rate_follows_weight_and_determinism(self, ray_session):
+        from osmptparser_ray.stages.relational import weighted_sample
+
+        n = 20000
+        ids = np.arange(n, dtype=np.int64)
+        w = np.where(ids % 2 == 0, 8, 2)  # p=0.8 evens, p=0.2 odds
+        ds = rd.from_arrow(
+            pa.table({"id": pa.array(ids), "w": pa.array(w.astype(np.int64))})
+        ).repartition(4)
+        kept = [r["id"] for r in weighted_sample(ds, "id", "w", 10).take_all()]
+        kept2 = [r["id"] for r in weighted_sample(ds, "id", "w", 10).take_all()]
+        assert sorted(kept) == sorted(kept2)  # deterministic
+        ev = sum(1 for i in kept if i % 2 == 0) / (n / 2)
+        od = sum(1 for i in kept if i % 2 == 1) / (n / 2)
+        assert abs(ev - 0.8) < 0.03 and abs(od - 0.2) < 0.03
+
+    def test_weight_at_least_denom_always_keeps(self, ray_session):
+        from osmptparser_ray.stages.relational import weighted_sample
+
+        ids = np.arange(100, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {"id": pa.array(ids), "w": pa.array(np.full(100, 10**6, np.int64))}
+            )
+        )
+        assert weighted_sample(ds, "id", "w", 100).count() == 100

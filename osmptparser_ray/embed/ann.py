@@ -637,13 +637,18 @@ def ivf_ann_join(
         qid, qm = rid[q_sel], m[q_sel]
         sim = qm @ vm.T  # (q_g, v_g)
         kk = min(k, sim.shape[1])
-        # vectorized per-query partial top-k within the group
+        # vectorized per-query partial top-k within the group. Keep ALL
+        # candidates tied with the k-th score (>=, not argpartition
+        # truncation): an arbitrary tie cut here could drop the candidate
+        # the global (score desc, vec_id asc) tiebreak would keep; the
+        # sort-scan merge applies the exact tiebreak to the survivors.
         if kk < sim.shape[1]:
-            top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            kth = np.partition(sim, sim.shape[1] - kk, axis=1)[
+                :, sim.shape[1] - kk
+            ]
+            rows, cols = np.nonzero(sim >= kth[:, None])
         else:
-            top = np.broadcast_to(np.arange(sim.shape[1]), sim.shape).copy()
-        rows = np.repeat(np.arange(sim.shape[0]), top.shape[1])
-        cols = top.reshape(-1)
+            rows, cols = np.nonzero(np.ones_like(sim, dtype=bool))
         return pd.DataFrame(
             {
                 "query_id": qid[rows],

@@ -250,3 +250,27 @@ class TestIvfAnnJoin:
                       "embedding": pa.array([], pa.list_(pa.float64()))})
         )
         assert ivf_ann_join(ds, queries, k=3, n_lists=4, n_probe=2).count() == 0
+
+    def test_tied_scores_keep_smallest_vec_ids(self, ray_session):
+        """Adversarial full-tie corpus: many identical vectors — the
+        global (score desc, vec_id asc) tiebreak must pick the smallest
+        ids, which requires the per-group partial to keep ALL boundary
+        ties rather than truncating arbitrarily."""
+        import ray.data as rd
+
+        from osmptparser_ray.embed.ann import ivf_ann_join
+
+        n = 40
+        vecs = [[1.0, 0.0, 0.0]] * n  # every score ties at 1.0
+        vectors = rd.from_arrow(
+            pa.table({"vec_id": pa.array(list(range(n)), pa.int64()),
+                      "embedding": pa.array(vecs)})
+        ).repartition(4)
+        queries = rd.from_arrow(
+            pa.table({"vec_id": pa.array([100], pa.int64()),
+                      "embedding": pa.array([[2.0, 0.0, 0.0]])})
+        )
+        out = ivf_ann_join(vectors, queries, k=5, n_lists=2, n_probe=2,
+                           vec_chunks=3).take_all()
+        got = sorted((r["rank"], r["vec_id"]) for r in out)
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]

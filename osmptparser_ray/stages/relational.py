@@ -2156,6 +2156,8 @@ def weighted_sample(
 
     Integer-exact: the 31-bit-masked Knuth hash times ``denom`` stays
     below 2⁶³ for denom < 2¹⁹; weights above ``denom`` always keep.
+    Ids must be NON-NEGATIVE (numpy ``%`` and SQL ``%`` disagree on
+    negatives — the ``deterministic_sample`` contract).
     """
     if not (0 < denom < (1 << 19)):
         raise ValueError("denom must be in (0, 2^19) for int64 exactness")

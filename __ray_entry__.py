@@ -701,6 +701,29 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_pagerank_cycles(sf_dir: str):
+    """PageRank on a planted graph of two disjoint cycles (8 + 4 nodes),
+    damping 0.5, 5 iterations: a uniform rank vector over 1-in/1-out
+    cycles is an EXACT float64 fixed point at d=0.5 (power-of-two scaling
+    commutes with IEEE rounding), so every rank is bit-identical to the
+    VALUES oracle's 1.0/12 — the iterative-operator correctness gate."""
+    import ray.data as rd
+
+    from osmptparser_ray.graph import pagerank
+
+    src = list(range(8)) + list(range(100, 104))
+    dst = [(i + 1) % 8 for i in range(8)] + [100 + (i + 1) % 4 for i in range(4)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    return pagerank(edges, n_iter=5, damping=0.5)
+
+
 def _q_histogram(sf_dir: str):
     """16-bin histogram of events.value over [0, 500): bin assignment is
     floor((x−lo)/width) with clip — IEEE ops are exactly rounded, so an
@@ -1995,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": _q_salted_join,
         "zscore_outliers": _q_zscore_outliers,
         "histogram": _q_histogram,
+        "pagerank_cycles": _q_pagerank_cycles,
         "weighted_sample": _q_weighted_sample,
         "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
@@ -2218,6 +2242,11 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "pagerank_cycles": (
+            "SELECT CAST(node AS BIGINT) AS node, CAST(1.0 / 12 AS DOUBLE) AS rank "
+            "FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),"
+            "(100),(101),(102),(103)) AS t(node)"
         ),
         "histogram": (
             "WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / "

@@ -14,7 +14,8 @@ Layout:
     spatial/    cell index, point-in-polygon, kNN, raster-vector joins
     text/       dedup (exact/minhash/simhash), language-ID, quality, tokens
     embed/      ANN similarity search over embedding columns
-    state/      partitioned checkpoint/resume manifests
+    state/      partitioned checkpoint/resume manifests + incremental ops
+    graph.py    edge-list graph operators (PageRank power iteration)
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,235 @@
+"""Distributed graph operators over edge-list Datasets.
+
+``pagerank`` is the engine's ITERATIVE-computation shape: each iteration
+is one hash join (ranks ⋈ out-weighted edges on src) plus one
+groupby-Sum (contributions per dst), materialized per round so lineage
+stays flat. Nothing is ever collected to the driver except two scalars
+per iteration (total node count once; dangling mass per round).
+
+Companion to ``text/dedup.py:duplicate_groups`` (min-label propagation)
+— together they cover the propagate-until-stable and fixed-iteration
+families a 100 TB link-graph pipeline needs (link spam scoring, domain
+authority for crawl prioritization).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .util import JOIN_AGG_ARGS, join_partitions
+
+
+def _distinct_nodes(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    """Distinct node ids appearing on either side (combiner + groupby)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False)
+        d = batch[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, d])))})
+
+    from ray.data.aggregate import Count
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+    )
+
+
+
+def _healed(ds: rd.Dataset, cap: int) -> rd.Dataset:
+    """Materialize + repartition a join side to ≤ row-count blocks.
+
+    A hash-shuffle groupby can emit zero-COLUMN empty blocks for empty
+    partitions; Acero's per-partition join then dies with "No match for
+    key field" (the NOTES_ROUND2/3 empty-partition rule). Rebuilding the
+    blocks schema-ful via repartition heals it.
+    """
+    ds = ds.materialize()
+    n = ds.count()
+    return ds.repartition(max(1, min(cap, n))).materialize()
+
+
+def pagerank(
+    edges: rd.Dataset,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """PageRank over an edge-list Dataset → (node, rank).
+
+    Standard power iteration with dangling-mass redistribution:
+
+        r'(v) = (1−d)/n + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/n)
+
+    Physical plan per iteration — everything distributed:
+
+    1. ranks ⋈ weighted edges on src (hash join, cluster-sized
+       partitions), contribution = rank·(1/outdeg) per edge,
+    2. groupby(dst).Sum — in-flow per node,
+    3. left join back onto the node table (nodes without in-edges keep
+       the base term) + the vectorized update.
+
+    The out-weighted edge table and the node table are built once and
+    reused every round. Dangling mass (outdeg-0 nodes) is a per-round
+    scalar aggregate. Exactness note (for the planted oracle): with
+    ``damping=0.5`` a uniform rank vector over disjoint 1-in/1-out
+    cycles is reproduced EXACTLY in float64 every iteration — halving
+    commutes with IEEE rounding — so the fixed point is bit-identical
+    across engines.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    npart = num_partitions or join_partitions()
+    d = float(damping)
+
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+            )
+        )
+
+    outdeg = _healed(
+        edges.map_batches(
+            lambda t: pa.table({"node": t[src_col]}), batch_format="pyarrow"
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="outdeg")),
+        npart,
+    )
+    # node table with out-degree (0 for sinks) — the per-iteration spine
+    spine = nodes.join(
+        outdeg,
+        "left_outer",
+        npart,
+        on=("node",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "outdeg": pc.fill_null(t["outdeg"], 0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # out-weighted edges: (src, dst, w=1/outdeg(src)); built once
+    wedges = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t[src_col], "dst": t[dst_col]}),
+            batch_format="pyarrow",
+        )
+        .join(
+            spine,
+            "inner",
+            npart,
+            on=("node",),
+            aggregator_ray_remote_args=JOIN_AGG_ARGS,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "dst": t["dst"],
+                    "w": pc.divide(
+                        pa.scalar(1.0),
+                        pc.cast(t["outdeg"], pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    init = 1.0 / n
+    ranks = spine.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "outdeg": t["outdeg"],
+                "rank": pa.array(np.full(t.num_rows, init), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        # dangling mass: rank stuck on outdeg-0 nodes, redistributed
+        def dang_part(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["outdeg"], 0)
+            r = batch.filter(m)["rank"]
+            tot = pc.sum(r).as_py() if len(r) else 0.0
+            return pa.table({"dm": pa.array([tot or 0.0], pa.float64())})
+
+        # one partial row per BLOCK; iter_batches may concatenate several
+        # into one batch — sum every row, not just the first
+        dangling = sum(
+            sum(b["dm"].to_pylist())
+            for b in ranks.map_batches(dang_part, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        )
+        contribs = (
+            wedges.join(
+                ranks.select_columns(["node", "rank"]),
+                "inner",
+                npart,
+                on=("node",),
+                aggregator_ray_remote_args=JOIN_AGG_ARGS,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["dst"],
+                        "inflow_part": pc.multiply(t["rank"], t["w"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("inflow_part", alias_name="inflow"))
+        )
+        contribs = _healed(contribs, npart)
+        dshare = dangling / n
+
+        def update(batch: pa.Table) -> pa.Table:
+            inflow = pc.fill_null(batch["inflow"], 0.0).to_numpy(
+                zero_copy_only=False
+            )
+            new = base + d * (inflow + dshare)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "outdeg": batch["outdeg"],
+                    "rank": pa.array(new, pa.float64()),
+                }
+            )
+
+        ranks = (
+            spine.join(
+                contribs,
+                "left_outer",
+                npart,
+                on=("node",),
+                aggregator_ray_remote_args=JOIN_AGG_ARGS,
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.select_columns(["node", "rank"])

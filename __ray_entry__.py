@@ -701,6 +701,35 @@ def _q_vocab_top(sf_dir: str):
     return token_frequencies(ds, "text", top_n=50)
 
 
+def _q_rolling_sum(sf_dir: str):
+    """Trailing 5-order spend per customer — the BOUNDED-frame SQL window
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) as a sort-scan with a
+    ≤4-value tail carry; integer cents keep the carries exact."""
+    from osmptparser_ray.stages.relational import rolling_sum
+
+    o = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                # floor(x·100 + 0.5), NOT round(): pyarrow rounds
+                # half-to-even, DuckDB half-away — identical expression
+                # trees sidestep the tie rule entirely
+                "cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rolling_sum(o, "o_custkey", ["o_orderkey"], "cents", 5).select_columns(
+        ["o_orderkey", "o_custkey", "cents", "rolling_sum"]
+    )
+
+
 def _q_pagerank_cycles(sf_dir: str):
     """PageRank on a planted graph of two disjoint cycles (8 + 4 nodes),
     damping 0.5, 5 iterations: a uniform rank vector over 1-in/1-out
@@ -2019,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers": _q_zscore_outliers,
         "histogram": _q_histogram,
         "pagerank_cycles": _q_pagerank_cycles,
+        "rolling_sum": _q_rolling_sum,
         "weighted_sample": _q_weighted_sample,
         "except_distinct": _q_except_distinct,
         "token_count": _q_token_count,
@@ -2247,6 +2277,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(node AS BIGINT) AS node, CAST(1.0 / 12 AS DOUBLE) AS rank "
             "FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),"
             "(100),(101),(102),(103)) AS t(node)"
+        ),
+        "rolling_sum": (
+            "SELECT o_orderkey, o_custkey, cents, "
+            "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum FROM ("
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
+            "FROM orders)"
         ),
         "histogram": (
             "WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / "

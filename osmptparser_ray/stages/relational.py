@@ -2173,3 +2173,117 @@ def weighted_sample(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rolling_sum(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: "list[str]",
+    value_col: str,
+    window: int,
+    *,
+    out: str = "rolling_sum",
+) -> rd.Dataset:
+    """Per-key BOUNDED-frame window sum — SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN window−1 PRECEDING AND CURRENT ROW)``
+    (trailing moving totals: W-event engagement, W-order spend).
+
+    Integer ``value_col`` required (exact carries ⇒ hash-exact oracle;
+    the ``running_agg`` contract). Sort-scan plan with a TAIL carry: each
+    block's boundary summary carries the last ``min(window−1, run)``
+    VALUES of its last key — O(#blocks × window) driver bytes, so the
+    operating regime is window ≪ block size (a 10^6-row frame wants the
+    unbounded ``running_agg`` or a segment-tree variant instead; capped
+    at 65536). Inside a block everything is one cumsum + a clipped
+    window-start gather; first-run rows top up from the carried tail's
+    suffix sums.
+    """
+    import ray
+
+    if not (1 <= window <= 65536):
+        raise ValueError("window must be in [1, 65536]")
+    w = int(window)
+
+    sorted_ds = ds.sort([key_col] + list(order_cols)).materialize()
+    block_refs = _nonempty_block_refs(sorted_ds)
+    _blk = _as_arrow_block
+
+    def _cols(block: pa.Table):
+        g = block[key_col].to_numpy(zero_copy_only=False)
+        v = np.asarray(block[value_col].to_numpy(zero_copy_only=False), np.int64)
+        return g, v
+
+    @ray.remote
+    def summarize(block):
+        block = _blk(block)
+        if block.num_rows == 0:
+            return None
+        g, v = _cols(block)
+        m_last = g == g[-1]
+        tail = v[m_last][-(w - 1):] if w > 1 else np.empty(0, np.int64)
+        return {
+            "first": g[0],
+            "last": g[-1],
+            "single": bool(g[0] == g[-1]),
+            "tail": tail.tolist(),
+        }
+
+    summaries = ray.get([summarize.remote(ref) for ref in block_refs])
+
+    # O(#blocks) tail chain: the ≤ w−1 values preceding each block's
+    # first row within its run
+    carries: "list[list[int]]" = []
+    carry_key, carry_tail = None, []
+    for s in summaries:
+        if s is None:
+            carries.append([])
+            continue
+        hit = carry_key is not None and s["first"] == carry_key
+        incoming = carry_tail if hit else []
+        carries.append(incoming)
+        if s["single"] and hit:
+            carry_tail = (incoming + s["tail"])[-(w - 1):] if w > 1 else []
+        else:
+            carry_tail = s["tail"]
+        carry_key = s["last"]
+    del carry_key, carry_tail
+
+    @ray.remote
+    def emit(block, tail: "list[int]") -> pa.Table:
+        block = _blk(block)
+        if block.num_rows == 0:
+            return block.append_column(out, pa.array([], pa.int64()))
+        g, v = _cols(block)
+        n = len(g)
+        is_new = np.ones(n, bool)
+        is_new[1:] = g[1:] != g[:-1]
+        run_id = np.cumsum(is_new) - 1
+        run_start = np.flatnonzero(is_new)
+        starts = run_start[run_id]
+        pos = np.arange(n, dtype=np.int64) - starts
+        cs = np.cumsum(v)
+        win_start = np.maximum(starts, np.arange(n) - w + 1)
+        rs = cs - (cs[win_start] - v[win_start])
+        if tail:
+            t = np.asarray(tail, np.int64)
+            suf = np.r_[np.cumsum(t[::-1])[::-1], 0]  # suf[i] = sum(t[i:])
+            first_run = run_id == 0
+            need = np.minimum(
+                np.maximum(w - 1 - pos[first_run], 0), len(t)
+            ).astype(np.int64)
+            rs[first_run] += suf[len(t) - need]
+        return block.append_column(out, pa.array(rs, pa.int64()))
+
+    if not block_refs:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        empty = (
+            pa.table({f.name: pa.array([], f.type) for f in base})
+            if base is not None
+            else pa.table({})
+        )
+        return rd.from_arrow(empty.append_column(out, pa.array([], pa.int64())))
+    out_refs = [
+        emit.remote(ref, carries[i]) for i, ref in enumerate(block_refs)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -609,3 +609,55 @@ class TestWeightedSample:
             )
         )
         assert weighted_sample(ds, "id", "w", 100).count() == 100
+
+
+class TestRollingSum:
+    def _check(self, ray_session, n_rows, n_keys, w, blocks):
+        from osmptparser_ray.stages.relational import rolling_sum
+
+        rng = np.random.default_rng(17)
+        keys = rng.integers(0, n_keys, n_rows)
+        order = np.arange(n_rows, dtype=np.int64)
+        vals = rng.integers(-5, 20, n_rows)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "o": pa.array(order),
+                    "v": pa.array(vals.astype(np.int64)),
+                }
+            )
+        ).repartition(blocks)
+        got = {
+            (r["k"], r["o"]): r["rolling_sum"]
+            for r in rolling_sum(ds, "k", ["o"], "v", w).take_all()
+        }
+        df = pd.DataFrame({"k": keys, "o": order, "v": vals}).sort_values(["k", "o"])
+        want = df.groupby("k")["v"].rolling(w, min_periods=1).sum().reset_index()
+        for (_, row), (_, orig) in zip(want.iterrows(), df.iterrows()):
+            assert got[(orig["k"], orig["o"])] == int(row["v"]), (orig["k"], orig["o"])
+
+    def test_matches_pandas_rolling(self, ray_session):
+        self._check(ray_session, 400, 7, 5, 4)
+
+    def test_hot_key_window_spans_blocks(self, ray_session):
+        # one key, many blocks, window larger than a block's share
+        self._check(ray_session, 300, 1, 50, 16)
+
+    def test_window_one_is_identity(self, ray_session):
+        from osmptparser_ray.stages.relational import rolling_sum
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 1, 2], pa.int64()),
+                    "o": pa.array([0, 1, 0], pa.int64()),
+                    "v": pa.array([10, 20, 30], pa.int64()),
+                }
+            )
+        ).repartition(2)
+        got = sorted(
+            (r["k"], r["o"], r["rolling_sum"])
+            for r in rolling_sum(ds, "k", ["o"], "v", 1).take_all()
+        )
+        assert got == [(1, 0, 10), (1, 1, 20), (2, 0, 30)]

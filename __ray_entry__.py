@@ -1109,6 +1109,37 @@ def _q_percentile_filter(sf_dir: str):
     )
 
 
+def _q_winsorize(sf_dir: str):
+    """Operator COMPOSITION: winsorization — clamp a feature at its exact
+    corpus P05/P95 (sketch→bracket→refine quantiles, no global sort) then
+    a vectorized least/greatest map. Integer quantities ⇒ the clamped
+    column hash-matches the SQL quantile_disc + least/greatest oracle."""
+    from osmptparser_ray.stages.relational import quantiles_by_sketch
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    qs = quantiles_by_sketch(li, "q", [0.05, 0.95], eps=0.02)
+    # the sketch's value column is float64; the source is integer — cast
+    # back so the clamp stays int64 (the oracle's least/greatest is BIGINT)
+    lo, hi = int(qs["value"][0].as_py()), int(qs["value"][1].as_py())
+
+    def clamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "q_winsor",
+            pc.min_element_wise(pc.max_element_wise(t["q"], lo), hi),
+        )
+
+    return li.map_batches(clamp, batch_format="pyarrow")
+
+
 def _q_hll_group(sf_dir: str):
     """Grouped HyperLogLog (round-4): distinct users PER EVENT TYPE via
     per-batch (group, register-blob) partials merged by elementwise max —
@@ -2067,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "hll_distinct_per_group": _q_hll_group,
         "percentile_filter": _q_percentile_filter,
+        "winsorize": _q_winsorize,
         "rollup_agg": _q_rollup,
         "heavy_hitters": _q_heavy_hitters,
         "percent_rank": _q_percent_rank,
@@ -2204,6 +2236,15 @@ def oracle_sql() -> dict[str, str]:
         # deliberately has no SQL entry (partitioning-dependent output;
         # rows-only driver check + live in-query bound assertion + pytest
         # vs the exact operator).
+        "winsorize": (
+            "WITH st AS (SELECT CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.05) "
+            "AS BIGINT) AS lo, CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.95) "
+            "AS BIGINT) AS hi FROM lineitem) "
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "least(greatest(CAST(l_quantity AS BIGINT), lo), hi) AS q_winsor "
+            "FROM lineitem CROSS JOIN st"
+        ),
         "quantile_sketch": (
             "SELECT q, value FROM ("
             "SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem "

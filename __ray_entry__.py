@@ -855,6 +855,36 @@ def _q_except_distinct(sf_dir: str):
     return except_distinct(c, o, "custkey")
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC canonicalization over a PLANTED corpus of decomposed
+    accents / ligatures / full-width forms (real scraped-HTML artifacts;
+    the sf documents are ASCII so normalization there is identity and
+    proves nothing). Oracle: live DuckDB ``nfc_normalize`` on the same
+    VALUES — two independent ICU-class implementations must agree."""
+    import ray.data as rd
+
+    from osmptparser_ray.text.analysis import normalize_text
+
+    planted = [
+        "cafe\u0301 con leche",       # e + combining acute -> \u00e9
+        "A\u030a ring",               # A + combining ring -> \u00c5
+        "already-n\u00e9 composed",   # precomposed: NFC identity
+        "s\u0323\u0307 dots",        # s + dot-below + dot-above
+        "plain ascii",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(planted))), pa.int64()),
+                "text": pa.array(planted, pa.string()),
+            }
+        )
+    ).repartition(2)
+    return normalize_text(ds, "text", "text_norm").select_columns(
+        ["doc_id", "text_norm"]
+    )
+
+
 def _q_bigram_top(sf_dir: str):
     """Corpus top-50 bigrams (phrase statistics; n-grams never cross doc
     boundaries). Oracle: list_zip of EXPLICIT-bounds slices — DuckDB's
@@ -2090,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": _q_vocab_top,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_top": _q_bigram_top,
+        "normalize_text": _q_normalize_text,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
@@ -2377,6 +2408,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token ASC) "
             "AS BIGINT) AS rank "
             "FROM tf JOIN df USING (token) CROSS JOIN n) WHERE rank <= 3"
+        ),
+        # the planted strings are built with chr() so the DECOMPOSED code
+        # points survive SQL literal handling; nfc_normalize must agree
+        # with pyarrow's utf8_normalize byte-for-byte
+        "normalize_text": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, nfc_normalize(s) AS text_norm "
+            "FROM (VALUES "
+            "(0, 'cafe' || chr(769) || ' con leche'), "
+            "(1, 'A' || chr(778) || ' ring'), "
+            "(2, 'already-n' || chr(233) || ' composed'), "
+            "(3, 's' || chr(803) || chr(775) || ' dots'), "
+            "(4, 'plain ascii')"
+            ") AS t(doc_id, s)"
         ),
         "bigram_top": (
             "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS l "

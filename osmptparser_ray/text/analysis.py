@@ -547,3 +547,46 @@ def ngram_frequencies(
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return merged.sort(["cnt", "ngram"], descending=[True, False]).limit(top_n)
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    col: str = "text",
+    out: str = "text_norm",
+    *,
+    form: str = "NFC",
+    lower: bool = False,
+    collapse_ws: bool = False,
+) -> rd.Dataset:
+    """Unicode canonicalization — the text-cleaning front door of a
+    training pipeline (decomposed accents, ligatures, full-width forms
+    from scraped HTML all collapse to one canonical byte sequence, so
+    exact dedup and fingerprints stop missing visually identical docs).
+
+    Normalization runs through stdlib ``unicodedata`` per string — NOT
+    ``pc.utf8_normalize``, whose composing forms are broken in this
+    pyarrow build (verified: NFC/NFKC of ``e + U+0301`` stays decomposed
+    while NFD works; stdlib and DuckDB ``nfc_normalize`` both compose).
+    Optional ``utf8_lower`` / whitespace-collapse stay C++ kernels. The
+    oracle is live SQL against DuckDB's ICU-class implementation.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = [
+            None if s is None else unicodedata.normalize(form, s)
+            for s in batch[col].to_pylist()
+        ]
+        v = pa.array(vals, pa.string())
+        if lower:
+            v = pc.utf8_lower(v)
+        if collapse_ws:
+            v = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(v, r"\s+", " ")
+            )
+        return batch.append_column(out, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -639,3 +639,26 @@ class TestNgramFrequencies:
             pa.table({"text": pa.array(["z", "w"], pa.string())})
         ).repartition(1)
         assert ngram_frequencies(ds, n=2).count() == 0
+
+
+class TestNormalizeText:
+    def test_forms_and_options(self, ray_session):
+        import unicodedata
+
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import normalize_text
+
+        texts = ["café", "Å", "ﬁle", None, "  Á  B  "]
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(2)
+        got = [r["text_norm"] for r in normalize_text(ds, "text").take_all()]
+        want = [None if t is None else unicodedata.normalize("NFC", t) for t in texts]
+        assert sorted(x or "" for x in got) == sorted(x or "" for x in want)
+        # NFKC folds the ligature; lower + collapse_ws compose
+        nk = normalize_text(ds, "text", form="NFKC", lower=True, collapse_ws=True)
+        outs = {r["text_norm"] for r in nk.take_all() if r["text_norm"] is not None}
+        assert "file" in outs  # ligature folded by NFKC
+        assert "á b" in outs  # lowered, composed, whitespace collapsed

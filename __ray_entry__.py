@@ -1093,6 +1093,30 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_cube(sf_dir: str):
+    """GROUP BY CUBE (round-4 late): all 4 grouping sets over
+    (status, priority) — the rollup sibling that also emits the
+    (priority)-only marginal; corpus aggregated once, every set
+    re-aggregates the finest result."""
+    from osmptparser_ray.stages.relational import cube_agg
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents",
+            pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+        )
+
+    return cube_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        "cents",
+    )
+
+
 def _q_rollup(sf_dir: str):
     """ROLLUP hierarchy (round-4): order counts + totals at
     (status, priority) / (status) / () levels. The corpus is aggregated
@@ -2131,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_filter": _q_percentile_filter,
         "winsorize": _q_winsorize,
         "rollup_agg": _q_rollup,
+        "cube_agg": _q_cube,
         "heavy_hitters": _q_heavy_hitters,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
@@ -2547,6 +2572,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
             "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 10"
+        ),
+        "cube_agg": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
         "rollup_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

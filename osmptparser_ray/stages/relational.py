@@ -2287,3 +2287,93 @@ def rolling_sum(
         emit.remote(ref, carries[i]) for i, ref in enumerate(block_refs)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    group_cols: "list[str]",
+    value_col: str,
+    *,
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """All-subsets totals — SQL ``GROUP BY CUBE(a, b, …)``: one row set
+    per SUBSET of the group columns (2^k grouping sets; the cross-dim
+    pivot-report sibling of ``rollup_agg``, which emits only prefixes).
+
+    Same scale shape as rollup: the corpus is aggregated ONCE at the
+    finest level; all 2^k−1 coarser sets re-aggregate that group-count-
+    sized result. k is capped at 8 (256 grouping sets — past that you
+    want explicit grouping sets, not a cube). Integer counts/sums keep
+    every set hash-exact. Output: ``group_cols`` (string, coarser sets
+    stamped ``all_label``), ``n``, ``sum_v`` (int64).
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(group_cols) > 8:
+        raise ValueError("cube_agg caps at 8 columns (2^k grouping sets)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(group_cols + [value_col])
+        t = t.set_column(
+            t.schema.get_field_index(value_col),
+            value_col,
+            pc.cast(t[value_col], pa.int64()),
+        )
+        t = t.append_column("__one", pa.array(np.ones(len(t), np.int64), pa.int64()))
+        g = t.group_by(group_cols).aggregate([("__one", "sum"), (value_col, "sum")])
+        return g.rename_columns(group_cols + ["n", "sum_v"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+        .map_batches(
+            lambda t: t.select(group_cols + ["n", "sum_v"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    def fill(level_cols: "list[str]"):
+        missing = [c for c in group_cols if c not in level_cols]
+
+        def f(t: pa.Table) -> pa.Table:
+            cols = {c: pc.cast(t[c], pa.string()) for c in level_cols}
+            for c in missing:
+                cols[c] = pa.array([all_label] * len(t), pa.string())
+            cols["n"] = pc.cast(t["n"], pa.int64())
+            cols["sum_v"] = pc.cast(t["sum_v"], pa.int64())
+            return pa.table({c: cols[c] for c in group_cols + ["n", "sum_v"]})
+
+        return f
+
+    levels = [finest.map_batches(fill(group_cols), batch_format="pyarrow")]
+    k = len(group_cols)
+    for size in range(k - 1, 0, -1):
+        for subset in combinations(group_cols, size):
+            lc = list(subset)
+            levels.append(
+                finest.groupby(lc)
+                .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+                .map_batches(fill(lc), batch_format="pyarrow")
+            )
+    tot_n = finest.sum("n")
+    tot_v = finest.sum("sum_v")
+    levels.append(
+        rd.from_arrow(
+            pa.table(
+                {
+                    **{c: pa.array([all_label], pa.string()) for c in group_cols},
+                    "n": pa.array([int(tot_n)], pa.int64()),
+                    "sum_v": pa.array([int(tot_v)], pa.int64()),
+                }
+            )
+        )
+    )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

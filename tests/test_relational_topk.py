@@ -661,3 +661,32 @@ class TestRollingSum:
             for r in rolling_sum(ds, "k", ["o"], "v", 1).take_all()
         )
         assert got == [(1, 0, 10), (1, 1, 20), (2, 0, 30)]
+
+
+class TestCubeAgg:
+    def test_all_grouping_sets(self, ray_session):
+        from osmptparser_ray.stages.relational import cube_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(["x", "x", "y", "y", "y"]),
+                    "b": pa.array(["1", "2", "1", "1", "2"]),
+                    "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+                }
+            )
+        ).repartition(2)
+        rows = {
+            (r["a"], r["b"]): (r["n"], r["sum_v"])
+            for r in cube_agg(ds, ["a", "b"], "v").take_all()
+        }
+        assert rows[("x", "1")] == (1, 10)
+        assert rows[("x", "2")] == (1, 20)
+        assert rows[("y", "1")] == (2, 70)
+        assert rows[("y", "2")] == (1, 50)
+        assert rows[("x", "ALL")] == (2, 30)
+        assert rows[("y", "ALL")] == (3, 120)
+        assert rows[("ALL", "1")] == (3, 80)   # the set ROLLUP lacks
+        assert rows[("ALL", "2")] == (2, 70)
+        assert rows[("ALL", "ALL")] == (5, 150)
+        assert len(rows) == 9

@@ -550,6 +550,19 @@ def ivf_ann_join(
     qvec_col = query_vec_col or vec_col
 
     sample_rows = vectors.limit(train_sample).take_all()
+    if not sample_rows:
+        # empty vector side: nothing can match (and an all-empty union
+        # side breaks the groupby) — short-circuit
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
     sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
     cents = _kmeans_fit(sample, n_lists)
     cents_ref = ray.put(cents)

@@ -1863,6 +1863,22 @@ def salted_join(
         )
 
     left = left.materialize()
+    if left.count() == 0 or right.limit(1).count() == 0:
+        # an ALL-EMPTY side crashes Dataset.join — empty inner join result
+        def _fields(d):
+            s = d.schema(fetch_if_missing=True)
+            base = getattr(s, "base_schema", None) if s is not None else None
+            return [(f.name, f.type) for f in base] if base is not None else []
+
+        lf = _fields(left)
+        rf = [
+            (n if n == on or n not in dict(lf) else n + (right_suffix or ""), t)
+            for n, t in _fields(right)
+            if n != on
+        ]
+        return rd.from_arrow(
+            pa.table({n: pa.array([], t) for n, t in lf + rf})
+        )
     counts = (
         left.map_batches(partial_counts, batch_format="pyarrow")
         .groupby(on)
@@ -2100,6 +2116,10 @@ def histogram(
     """
     from ray.data.aggregate import Sum
 
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError("require hi > lo")
     width = (hi - lo) / nbins
 
     def partial(batch: pa.Table) -> pa.Table:

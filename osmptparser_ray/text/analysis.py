@@ -449,6 +449,20 @@ def tfidf_top_terms(
 
     n = int(n_docs if n_docs is not None else docs.count())
     tf = doc_term_counts(docs, text_col, id_col).materialize()
+    if n == 0 or tf.count() == 0:
+        # an ALL-EMPTY side crashes Dataset.join — short-circuit
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
     joined = tf.join(
         df,

@@ -690,3 +690,59 @@ class TestCubeAgg:
         assert rows[("ALL", "2")] == (2, 70)
         assert rows[("ALL", "ALL")] == (5, 150)
         assert len(rows) == 9
+
+
+class TestEmptyInputGuards:
+    def test_salted_join_empty_sides(self, ray_session):
+        from osmptparser_ray.stages.relational import salted_join
+
+        empty = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"k": pa.array([1], pa.int64()), "rv": pa.array([9], pa.int64())})
+        )
+        assert salted_join(empty, right, "k").count() == 0
+        assert salted_join(right, empty.map_batches(
+            lambda t: pa.table({"k": t["k"], "rv": t["lv"]}), batch_format="pyarrow"
+        ), "k").count() == 0
+
+    def test_tfidf_empty_corpus(self, ray_session):
+        from osmptparser_ray.text.analysis import tfidf_top_terms
+
+        docs = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        )
+        assert tfidf_top_terms(docs, k=3).count() == 0
+
+    def test_ivf_ann_join_empty_vectors(self, ray_session):
+        from osmptparser_ray.embed.ann import ivf_ann_join
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        )
+        q = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]]),
+                }
+            )
+        )
+        assert ivf_ann_join(empty, q, k=3, n_lists=2, n_probe=1).count() == 0
+
+    def test_histogram_param_validation(self, ray_session):
+        from osmptparser_ray.stages.relational import histogram
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([1.0], pa.float64())}))
+        with pytest.raises(ValueError):
+            histogram(ds, "v", 0.0, 10.0, 0)
+        with pytest.raises(ValueError):
+            histogram(ds, "v", 10.0, 0.0, 4)

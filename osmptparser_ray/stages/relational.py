@@ -1845,6 +1845,16 @@ def salted_join(
     are multiplied by ``salt`` (keep right the smaller-per-key side).
     Both-sides-hot keys produce quadratic output regardless of engine —
     that is the join's semantics, not a skew artifact.
+
+    WHEN to use (measured, this Ray version): at in-memory scales the
+    plain hash-shuffle join tolerates extreme skew — interleaved A/B at
+    8M rows with 90% of rows on ONE key: plain 4–6 s vs salted 12–15 s
+    (the detection pass + right replication + 2-column key outweigh the
+    skewed critical path, which is just a linear scan). Salting is the
+    MEMORY escape hatch: a hot key whose partition exceeds a worker heap
+    (10^9+ rows of one domain) OOMs the single aggregator that must hold
+    it — salt splits that partition ``salt`` ways. Don't reach for it on
+    speed grounds below that regime.
     """
     import ray
 

@@ -174,7 +174,31 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         )
 
     q = entrymod.queries()
-    q = dict(q, minhash_near_dup=_minhash_corpus)
+    def _pagerank_orders(sf):
+        # iterative-shape timing: 3 power iterations over a bipartite-ish
+        # graph derived from orders (custkey -> orderkey mod 2^14); the
+        # driver-gate pagerank query is a 12-node planted graph and times
+        # nothing
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        from osmptparser_ray.graph import pagerank
+
+        edges = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"), columns=["o_custkey", "o_orderkey"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["o_custkey"],
+                    "dst": _pc.bit_wise_and(t["o_orderkey"], (1 << 14) - 1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return pagerank(edges, n_iter=3, damping=0.85)
+
+    q = dict(q, minhash_near_dup=_minhash_corpus, pagerank_orders=_pagerank_orders)
     for name in (
         "groupby_agg",
         "hash_join_revenue",
@@ -212,6 +236,7 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "salted_join",
         "sessionize_incremental",
         "intersect_distinct",
+        "pagerank_orders",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

@@ -52,6 +52,31 @@ class TestPagerank:
         for v in want:
             assert got[v] == pytest.approx(want[v], abs=1e-12)
 
+    def test_plan_parity_broadcast_vs_shuffle(self, ray_session):
+        from osmptparser_ray.graph import pagerank
+
+        rng = np.random.default_rng(21)
+        src_ = rng.integers(0, 40, 200)
+        dst_ = rng.integers(0, 40, 200)
+        ed = _edges_ds(src_, dst_)
+        a = {r["node"]: r["rank"]
+             for r in pagerank(ed, n_iter=5, damping=0.85, plan="broadcast").take_all()}
+        b = {r["node"]: r["rank"]
+             for r in pagerank(ed, n_iter=5, damping=0.85, plan="shuffle").take_all()}
+        assert set(a) == set(b)
+        for v in a:
+            assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+    def test_cycle_uniform_exact_both_plans(self, ray_session):
+        from osmptparser_ray.graph import pagerank
+
+        src_ = list(range(8))
+        dst_ = [(i + 1) % 8 for i in range(8)]
+        for plan in ("broadcast", "shuffle"):
+            out = pagerank(_edges_ds(src_, dst_), n_iter=4, damping=0.5,
+                           plan=plan).take_all()
+            assert all(r["rank"] == 1.0 / 8 for r in out), plan
+
     def test_cycle_uniform_exact(self, ray_session):
         from osmptparser_ray.graph import pagerank
 

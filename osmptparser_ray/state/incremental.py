@@ -123,12 +123,23 @@ def sessionize_append(
     run_id: Optional[str] = None,
     strict: bool = True,
     num_partitions: Optional[int] = None,
+    plan: str = "auto",
+    broadcast_cap: int = 2_000_000,
 ) -> rd.Dataset:
     """Fold one appended event chunk into the session state; return the
     updated complete sessions view (closed ∪ open tails).
 
     ``run_id`` names the chunk for idempotent resume: a run whose id is
     already recorded returns the current view without reprocessing.
+
+    ``plan="broadcast"`` (default under ``auto`` while active-user tails
+    AND chunk sessions both fit ``broadcast_cap``) removes all three
+    per-fold hash joins: the per-user stitch runs as driver numpy over
+    the two vocab-sized tables and the session renumber is one broadcast
+    searchsorted map over the chunk — the join fixed costs (aggregator
+    pool spin-up ×3) dominate a fold at small state. ``plan="shuffle"``
+    keeps the join realization for beyond-memory user populations;
+    parity-tested.
     """
     from ..streams import sessionize
     from ..util import JOIN_AGG_ARGS, join_partitions
@@ -151,6 +162,24 @@ def sessionize_append(
         _record_run(runs_path, run_id)
         return sessionize_state_read(state_dir)
 
+    tails = _read_tails(state_dir)
+    tails_count = tails.count() if tails is not None else 0
+    have_tails = tails_count > 0
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown plan: {plan!r}")
+    if plan == "auto":
+        plan = (
+            "broadcast"
+            if tails_count <= broadcast_cap
+            and new_sess.count() <= broadcast_cap
+            else "shuffle"
+        )
+    if plan == "broadcast":
+        closed_b, tails_b = _fold_broadcast(
+            new_sess, tails if have_tails else None, gap_us, strict
+        )
+        return _commit_fold(state_dir, runs_path, run_id, closed_b, tails_b)
+
     # per-user chunk summary: session count + the first session's start
     # (sessions are time-ordered per user, so Min(start_us) IS session 1's)
     from ray.data.aggregate import Max, Min
@@ -160,8 +189,6 @@ def sessionize_append(
         Min("start_us", alias_name="first_start"),
     )
 
-    tails = _read_tails(state_dir)
-    have_tails = tails is not None and tails.count() > 0
     if have_tails:
         t = tails.map_batches(
             lambda b: pa.table(
@@ -338,6 +365,12 @@ def sessionize_append(
         # new_sess has rows ⇒ per_user has rows)
         new_tails = new_tails.union(untouched)
 
+    return _commit_fold(state_dir, runs_path, run_id, closed, new_tails)
+
+
+def _commit_fold(
+    state_dir: str, runs_path: str, run_id: str, closed: rd.Dataset, new_tails: rd.Dataset
+) -> rd.Dataset:
     closed = closed.materialize()
     if closed.count() > 0:
         # write_parquet of an EMPTY dataset creates no files/dir, which
@@ -347,6 +380,148 @@ def sessionize_append(
     _write_tails(state_dir, new_tails.materialize(), run_id)
     _record_run(runs_path, run_id)
     return sessionize_state_read(state_dir)
+
+
+def _fold_broadcast(
+    new_sess: rd.Dataset,
+    tails: "Optional[rd.Dataset]",
+    gap_us: int,
+    strict: bool,
+) -> "tuple[rd.Dataset, rd.Dataset]":
+    """Join-free fold body: both vocab-sized tables (active-user tails,
+    per-user chunk summary) live as driver/broadcast numpy — the stitch
+    is pure numpy and the chunk renumber is one searchsorted map over
+    ``new_sess``. Bounded by ``broadcast_cap`` (checked by the caller)."""
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    from ..util import cached_get
+
+    per_user = new_sess.groupby("user_id").aggregate(
+        Max("session_id", alias_name="max_sid"),
+        Min("start_us", alias_name="first_start"),
+    )
+    us, ms, fs = [], [], []
+    for b in per_user.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        us.append(b["user_id"].to_numpy(zero_copy_only=False))
+        ms.append(b["max_sid"].to_numpy(zero_copy_only=False))
+        fs.append(b["first_start"].to_numpy(zero_copy_only=False))
+    u = np.concatenate(us)
+    order = np.argsort(u, kind="stable")
+    u = u[order].astype(np.int64)
+    max_sid = np.concatenate(ms)[order].astype(np.int64)
+    first = np.concatenate(fs)[order].astype(np.int64)
+    nu = len(u)
+
+    if tails is not None:
+        tu_l, ts_l, tn_l, tst_l, te_l = [], [], [], [], []
+        for b in tails.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            tu_l.append(b["user_id"].to_numpy(zero_copy_only=False))
+            ts_l.append(b["session_id"].to_numpy(zero_copy_only=False))
+            tn_l.append(b["n_events"].to_numpy(zero_copy_only=False))
+            tst_l.append(b["start_us"].to_numpy(zero_copy_only=False))
+            te_l.append(b["end_us"].to_numpy(zero_copy_only=False))
+        tu = np.concatenate(tu_l)
+        torder = np.argsort(tu, kind="stable")
+        tu = tu[torder].astype(np.int64)
+        t_sid = np.concatenate(ts_l)[torder].astype(np.int64)
+        t_n = np.concatenate(tn_l)[torder].astype(np.int64)
+        t_start = np.concatenate(tst_l)[torder].astype(np.int64)
+        t_end = np.concatenate(te_l)[torder].astype(np.int64)
+        ix = np.searchsorted(tu, u)
+        ix_c = np.minimum(ix, max(len(tu) - 1, 0))
+        has_tail = (tu[ix_c] == u) if len(tu) else np.zeros(nu, bool)
+        if strict and has_tail.any():
+            bad = has_tail & (
+                first < np.where(has_tail, t_end[ix_c], np.iinfo(np.int64).min)
+            )
+            if bad.any():
+                raise ValueError(
+                    "sessionize_append: out-of-order append for users "
+                    f"{u[bad][:5].tolist()} — chunk events predate the saved "
+                    "tail; the append-log contract requires per-user "
+                    "non-decreasing time across chunks"
+                )
+        tsid_u = np.where(has_tail, t_sid[ix_c], 0)
+        tend_u = np.where(has_tail, t_end[ix_c], np.iinfo(np.int64).min)
+        merge = has_tail & (first - tend_u <= gap_us)
+        offset = tsid_u - merge.astype(np.int64)
+        m_start = np.where(merge, t_start[ix_c], 0)
+        m_n = np.where(merge, t_n[ix_c], 0)
+        # tails CLOSED by this chunk (present, not merged)
+        tc = has_tail & ~merge
+        closed_tails_tbl = pa.table(
+            {
+                "user_id": pa.array(u[tc], pa.int64()),
+                "session_id": pa.array(tsid_u[tc], pa.int64()),
+                "n_events": pa.array(t_n[ix_c][tc], pa.int64()),
+                "start_us": pa.array(t_start[ix_c][tc], pa.int64()),
+                "end_us": pa.array(t_end[ix_c][tc], pa.int64()),
+            }
+        )
+        # tails of users NOT in this chunk stay open
+        jx = np.searchsorted(u, tu)
+        jx_c = np.minimum(jx, max(nu - 1, 0))
+        touched = (u[jx_c] == tu) if nu else np.zeros(len(tu), bool)
+        keep = ~touched
+        untouched_tbl = pa.table(
+            {
+                "user_id": pa.array(tu[keep], pa.int64()),
+                "session_id": pa.array(t_sid[keep], pa.int64()),
+                "n_events": pa.array(t_n[keep], pa.int64()),
+                "start_us": pa.array(t_start[keep], pa.int64()),
+                "end_us": pa.array(t_end[keep], pa.int64()),
+            }
+        )
+    else:
+        merge = np.zeros(nu, bool)
+        offset = np.zeros(nu, np.int64)
+        m_start = np.zeros(nu, np.int64)
+        m_n = np.zeros(nu, np.int64)
+        closed_tails_tbl = untouched_tbl = None
+
+    lut_ref = ray.put((u, offset, merge, m_start, m_n, max_sid))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        uu, off_a, mg_a, mst_a, mn_a, msid_a = cached_get(lut_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.searchsorted(uu, uid)  # every chunk user IS in the LUT
+        sid = batch["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = batch["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ev = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        merged_first = mg_a[ix] & (sid == 1)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_id": pa.array(sid + off_a[ix], pa.int64()),
+                "n_events": pa.array(
+                    n_ev + np.where(merged_first, mn_a[ix], 0), pa.int64()
+                ),
+                "start_us": pa.array(
+                    np.where(merged_first, mst_a[ix], start), pa.int64()
+                ),
+                "end_us": batch["end_us"],
+                "_is_tail": pa.array(sid == msid_a[ix]),
+            }
+        )
+
+    adj = new_sess.map_batches(finalize, batch_format="pyarrow").materialize()
+
+    def _split(flag: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["_is_tail"], flag)
+            return batch.filter(mask).select(_SESSION_COLS)
+
+        return f
+
+    closed = adj.map_batches(_split(False), batch_format="pyarrow")
+    new_tails = adj.map_batches(_split(True), batch_format="pyarrow")
+    if closed_tails_tbl is not None and closed_tails_tbl.num_rows:
+        closed = closed.union(rd.from_arrow(closed_tails_tbl))
+    if untouched_tbl is not None and untouched_tbl.num_rows:
+        new_tails = new_tails.union(rd.from_arrow(untouched_tbl))
+    return closed, new_tails
 
 
 def _runs(runs_path: str) -> set:

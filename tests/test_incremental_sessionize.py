@@ -134,3 +134,21 @@ class TestSessionizeAppend:
             _events([], [], []), state, 60.0, run_id="1"
         )
         assert _sessions(v2) == _sessions(v1)
+
+    def test_plan_parity_broadcast_vs_shuffle(self, ray_session, corpus, tmp_path):
+        from osmptparser_ray.state.incremental import sessionize_append
+
+        us, users, ids = corpus
+        cuts = np.quantile(us, [0.5])
+        masks = [us <= cuts[0], us > cuts[0]]
+        views = {}
+        for plan in ("broadcast", "shuffle"):
+            state = str(tmp_path / f"st_{plan}")
+            v = None
+            for i, m in enumerate(masks):
+                v = sessionize_append(
+                    _events(us[m], users[m], ids[m]), state, 60.0,
+                    run_id=str(i), plan=plan,
+                )
+            views[plan] = _sessions(v)
+        assert views["broadcast"] == views["shuffle"]

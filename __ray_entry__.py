@@ -855,6 +855,35 @@ def _q_except_distinct(sf_dir: str):
     return except_distinct(c, o, "custkey")
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """Typo-level fuzzy matching: all pairs within Levenshtein 2 over a
+    planted short-string corpus (title/name near-dups — the tail the
+    shingle pipelines cannot see). Oracle: live DuckDB ``levenshtein``
+    cross join on the same VALUES — two independent DP implementations
+    must agree on every pair AND distance."""
+    import ray.data as rd
+
+    from osmptparser_ray.text.fuzzy import edit_distance_pairs
+
+    names = [
+        "transformer", "transformers", "tranformer", "transfourmer",
+        "attention is all you need", "atention is all you need",
+        "gradient descent", "gradiant descent", "gradient decent",
+        "stochastic parrot", "stochastic parrots",
+        "a completely unrelated title", "another unrelated one",
+        "ray data", "ray date", "raydata",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(names))), pa.int64()),
+                "text": pa.array(names, pa.string()),
+            }
+        )
+    ).repartition(3)
+    return edit_distance_pairs(ds, k=2)
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode NFC canonicalization over a PLANTED corpus of decomposed
     accents / ligatures / full-width forms (real scraped-HTML artifacts;
@@ -2145,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_top": _q_bigram_top,
         "normalize_text": _q_normalize_text,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
@@ -2433,6 +2463,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token ASC) "
             "AS BIGINT) AS rank "
             "FROM tf JOIN df USING (token) CROSS JOIN n) WHERE rank <= 3"
+        ),
+        "edit_distance_pairs": (
+            "WITH names(doc_id, text) AS (VALUES "
+            "(0, 'transformer'), (1, 'transformers'), (2, 'tranformer'), "
+            "(3, 'transfourmer'), (4, 'attention is all you need'), "
+            "(5, 'atention is all you need'), (6, 'gradient descent'), "
+            "(7, 'gradiant descent'), (8, 'gradient decent'), "
+            "(9, 'stochastic parrot'), (10, 'stochastic parrots'), "
+            "(11, 'a completely unrelated title'), (12, 'another unrelated one'), "
+            "(13, 'ray data'), (14, 'ray date'), (15, 'raydata')) "
+            "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b, "
+            "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM names a JOIN names b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.text, b.text) <= 2"
         ),
         # the planted strings are built with chr() so the DECOMPOSED code
         # points survive SQL literal handling; nfc_normalize must agree

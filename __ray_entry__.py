@@ -855,6 +855,21 @@ def _q_except_distinct(sf_dir: str):
     return except_distinct(c, o, "custkey")
 
 
+def _q_unique_violations(sf_dir: str):
+    """Data-quality uniqueness test: (lang, n_chars) combinations that
+    appear more than once (dbt-style `unique` check; the FK/orphan check
+    composes from except_distinct and needs no operator)."""
+    from osmptparser_ray.stages.relational import unique_violations
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "n_chars": pc.cast(t["n_chars"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return unique_violations(ds, ["lang", "n_chars"])
+
+
 def _q_edit_distance_pairs(sf_dir: str):
     """Typo-level fuzzy matching: all pairs within Levenshtein 2 over a
     planted short-string corpus (title/name near-dups — the tail the
@@ -2175,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": _q_bigram_top,
         "normalize_text": _q_normalize_text,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "unique_violations": _q_unique_violations,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
@@ -2463,6 +2479,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token ASC) "
             "AS BIGINT) AS rank "
             "FROM tf JOIN df USING (token) CROSS JOIN n) WHERE rank <= 3"
+        ),
+        "unique_violations": (
+            "SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY lang, n_chars HAVING count(*) > 1"
         ),
         "edit_distance_pairs": (
             "WITH names(doc_id, text) AS (VALUES "

@@ -2407,3 +2407,36 @@ def cube_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def unique_violations(ds: rd.Dataset, cols) -> rd.Dataset:
+    """Data-quality uniqueness check (the dbt-style `unique` test):
+    key combinations appearing more than once → (cols..., n).
+
+    Per-batch partial counts (combiner) + one vocab-sized groupby-Sum +
+    a vectorized HAVING filter — the shuffle carries distinct keys per
+    batch, never rows. Referential-integrity checks compose from
+    ``except_distinct`` (orphans = child keys EXCEPT parent keys), so
+    only uniqueness needs an operator.
+    """
+    from ray.data.aggregate import Sum
+
+    key_cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_cols)
+        t = t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        )
+        g = t.group_by(key_cols).aggregate([("__one", "sum")])
+        return g.rename_columns(key_cols + ["n_part"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(key_cols + ["n"]),
+        batch_format="pyarrow",
+    )

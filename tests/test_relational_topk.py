@@ -746,3 +746,23 @@ class TestEmptyInputGuards:
             histogram(ds, "v", 0.0, 10.0, 0)
         with pytest.raises(ValueError):
             histogram(ds, "v", 10.0, 0.0, 4)
+
+
+class TestUniqueViolations:
+    def test_finds_duplicate_keys(self, ray_session):
+        from osmptparser_ray.stages.relational import unique_violations
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(["x", "x", "y", "y", "y", "z"]),
+                    "b": pa.array([1, 1, 2, 2, 3, 4], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        got = sorted(
+            (r["a"], r["b"], r["n"])
+            for r in unique_violations(ds, ["a", "b"]).take_all()
+        )
+        assert got == [("x", 1, 2), ("y", 2, 2)]
+        assert unique_violations(ds.limit(1), ["a", "b"]).count() == 0

@@ -418,18 +418,23 @@ def tfidf_top_terms(
     *,
     idf: str = "ratio",
     n_docs: int | None = None,
+    plan: str = "auto",
+    broadcast_cap: int = 2_000_000,
 ) -> rd.Dataset:
     """Top-k characteristic terms per document by TF-IDF.
 
     Output: (doc_id, rank, token, tf, df, score).
 
-    Physical plan — every stage bounded, nothing broadcast:
+    Physical plan — every stage bounded:
 
     1. ``doc_term_counts`` → (doc, token, tf) rows,
     2. DF = groupby(token) row count (each (doc, token) appears once, so
        a plain Count IS the document frequency) — vocab-sized,
-    3. tf ⋈ df hash join on token (the honest big-big path: a web-scale
-       vocabulary does not fit a broadcast),
+    3. DF attach: ``plan="broadcast"`` (auto default while the distinct
+       vocabulary ≤ ``broadcast_cap``) ships the (token → df) arrays via
+       ``ray.put`` and attaches per batch with a dictionary-encode +
+       searchsorted lookup — no join; ``plan="shuffle"`` is the tf ⋈ df
+       hash join for web-scale vocabularies (parity-tested),
     4. score per row, then the sort-scan ``topk_per_group`` per doc.
 
     ``idf="ratio"`` scores ``(tf·N)/df`` — the raw-ratio IDF variant,
@@ -447,6 +452,8 @@ def tfidf_top_terms(
 
     from ray.data.aggregate import Count
 
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown plan: {plan!r}")
     n = int(n_docs if n_docs is not None else docs.count())
     tf = doc_term_counts(docs, text_col, id_col).materialize()
     if n == 0 or tf.count() == 0:
@@ -463,14 +470,39 @@ def tfidf_top_terms(
                 }
             )
         )
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
-    joined = tf.join(
-        df,
-        "inner",
-        join_partitions(),
-        on=("token",),
-        aggregator_ray_remote_args=JOIN_AGG_ARGS,
-    )
+    df = tf.groupby("token").aggregate(Count(alias_name="df")).materialize()
+    if plan == "auto":
+        plan = "broadcast" if df.count() <= broadcast_cap else "shuffle"
+    if plan == "broadcast":
+        import ray
+
+        from ..util import cached_get
+
+        toks, dfs = [], []
+        for b in df.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            toks.append(np.asarray(b["token"].to_pylist(), dtype=object))
+            dfs.append(b["df"].to_numpy(zero_copy_only=False))
+        vocab = np.concatenate(toks)
+        order = np.argsort(vocab, kind="stable")
+        vocab = vocab[order]
+        df_arr = np.concatenate(dfs)[order].astype(np.int64)
+        lut_ref = ray.put((vocab, df_arr))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            v, d_ = cached_get(lut_ref)
+            tk = np.asarray(batch["token"].to_pylist(), dtype=object)
+            ix = np.searchsorted(v, tk)  # every tf token IS in the vocab
+            return batch.append_column("df", pa.array(d_[ix], pa.int64()))
+
+        joined = tf.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = tf.join(
+            df,
+            "inner",
+            join_partitions(),
+            on=("token",),
+            aggregator_ray_remote_args=JOIN_AGG_ARGS,
+        )
 
     def score(batch: pa.Table) -> pa.Table:
         tf_ = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -662,3 +662,28 @@ class TestNormalizeText:
         outs = {r["text_norm"] for r in nk.take_all() if r["text_norm"] is not None}
         assert "file" in outs  # ligature folded by NFKC
         assert "á b" in outs  # lowered, composed, whitespace collapsed
+
+    def test_tfidf_plan_parity_broadcast_vs_shuffle(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from osmptparser_ray.text.analysis import tfidf_top_terms
+
+        texts = ["the cat sat", "dog ate cat food", "cat dog cat", "x y z"]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(2)
+        a = {
+            (r["doc_id"], r["rank"], r["token"], r["score"])
+            for r in tfidf_top_terms(ds, k=2, plan="broadcast").take_all()
+        }
+        b = {
+            (r["doc_id"], r["rank"], r["token"], r["score"])
+            for r in tfidf_top_terms(ds, k=2, plan="shuffle").take_all()
+        }
+        assert a == b

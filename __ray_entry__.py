@@ -730,6 +730,21 @@ def _q_rolling_sum(sf_dir: str):
     )
 
 
+def _q_histogram_by_lang(sf_dir: str):
+    """Per-group histogram: document length distribution PER LANGUAGE
+    (8 bins over [0, 4000)) — the feature-drift monitoring shape; same
+    identical-IEEE-expression-tree binning as the global histogram."""
+    from osmptparser_ray.stages.relational import histogram
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "v": pc.cast(t["n_chars"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return histogram(docs, "v", 0.0, 4000.0, 8, group_col="lang")
+
+
 def _q_pagerank_cycles(sf_dir: str):
     """PageRank on a planted graph of two disjoint cycles (8 + 4 nodes),
     damping 0.5, 5 iterations: a uniform rank vector over 1-in/1-out
@@ -2176,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": _q_salted_join,
         "zscore_outliers": _q_zscore_outliers,
         "histogram": _q_histogram,
+        "histogram_by_lang": _q_histogram_by_lang,
         "pagerank_cycles": _q_pagerank_cycles,
         "rolling_sum": _q_rolling_sum,
         "weighted_sample": _q_weighted_sample,
@@ -2428,6 +2444,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, "
             "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
             "FROM orders)"
+        ),
+        "histogram_by_lang": (
+            "WITH b AS (SELECT lang, CAST(least(greatest(floor("
+            "(CAST(n_chars AS DOUBLE) - 0.0) / ((4000.0 - 0.0) / 8)), 0), 7) "
+            "AS BIGINT) AS bin FROM documents WHERE n_chars IS NOT NULL "
+            "AND lang IS NOT NULL) "
+            "SELECT lang, bin, "
+            "0.0 + CAST(bin AS DOUBLE) * ((4000.0 - 0.0) / 8) AS bin_lo, "
+            "0.0 + (CAST(bin AS DOUBLE) + 1.0) * ((4000.0 - 0.0) / 8) AS bin_hi, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY lang, bin"
         ),
         "histogram": (
             "WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / "

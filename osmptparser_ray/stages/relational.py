@@ -2109,9 +2109,12 @@ def histogram(
     nbins: int,
     *,
     clip: bool = True,
+    group_col: Optional[str] = None,
 ) -> rd.Dataset:
-    """Fixed-bin histogram: (bin, bin_lo, bin_hi, cnt), bins of width
-    (hi−lo)/nbins, deterministic cross-engine.
+    """Fixed-bin histogram: (group?, bin, bin_lo, bin_hi, cnt), bins of
+    width (hi−lo)/nbins, deterministic cross-engine. ``group_col`` gives
+    one histogram per group value (the per-language length-distribution
+    / feature-drift monitoring shape) from the same single pass.
 
     bin = floor((x − lo) / width) with out-of-range values clipped into
     the edge bins (``clip=True``) or dropped. IEEE float ops are
@@ -2121,8 +2124,9 @@ def histogram(
     not just identical constants), bin assignment is bit-identical.
 
     Plan: per-batch ``bincount`` partials (shuffle carries ≤ nbins rows
-    per batch) → one nbins-sized groupby-Sum. Edges are emitted from the
-    SAME float arithmetic (lo + bin·width) for oracle parity.
+    per (batch, group)) → one groupby-Sum sized #groups × nbins. Edges
+    are emitted from the SAME float arithmetic (lo + bin·width) for
+    oracle parity.
     """
     from ray.data.aggregate import Sum
 
@@ -2131,43 +2135,70 @@ def histogram(
     if not hi > lo:
         raise ValueError("require hi > lo")
     width = (hi - lo) / nbins
+    in_cols = [col] if group_col is None else [group_col, col]
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        x = x[~np.isnan(x)]
-        b = np.floor((x - lo) / width)
+        ok = ~np.isnan(x)
+        if group_col is not None:
+            # null group rows are dropped (a NULL bucket has no oracle
+            # analogue across engines)
+            ok &= pc.is_valid(batch[group_col].combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+        b = np.floor((x[ok] - lo) / width)
         if clip:
+            keep = np.ones(len(b), bool)
             b = np.clip(b, 0, nbins - 1)
         else:
-            m = (b >= 0) & (b < nbins)
-            b = b[m]
+            keep = (b >= 0) & (b < nbins)
+            b = b[keep]
         b = b.astype(np.int64)
-        cnt = np.bincount(b, minlength=nbins).astype(np.int64)
-        nz = np.flatnonzero(cnt)
+        if group_col is None:
+            cnt = np.bincount(b, minlength=nbins).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                    "cnt_part": pa.array(cnt[nz], pa.int64()),
+                }
+            )
+        g_arr = batch[group_col].combine_chunks()
+        enc = g_arr.filter(pa.array(ok)).dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not clip:
+            codes = codes[keep]
+        key = codes * nbins + b
+        u, c = np.unique(key, return_counts=True)
+        gi = (u // nbins).astype(np.int64)
         return pa.table(
             {
-                "bin": pa.array(nz.astype(np.int64), pa.int64()),
-                "cnt_part": pa.array(cnt[nz], pa.int64()),
+                group_col: enc.dictionary.take(pa.array(gi)),
+                "bin": pa.array((u % nbins).astype(np.int64), pa.int64()),
+                "cnt_part": pa.array(c.astype(np.int64), pa.int64()),
             }
         )
 
+    group_keys = ["bin"] if group_col is None else [group_col, "bin"]
     merged = (
-        ds.select_columns([col])
+        ds.select_columns(in_cols)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("bin")
+        .groupby(group_keys)
         .aggregate(Sum("cnt_part", alias_name="cnt"))
     )
 
     def edges(batch: pa.Table) -> pa.Table:
         b = batch["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "bin": batch["bin"],
-                "bin_lo": pa.array(lo + b * width, pa.float64()),
-                "bin_hi": pa.array(lo + (b + 1.0) * width, pa.float64()),
-                "cnt": batch["cnt"],
-            }
-        )
+        cols = {}
+        if group_col is not None:
+            cols[group_col] = batch[group_col]
+        cols["bin"] = batch["bin"]
+        cols["bin_lo"] = pa.array(lo + b * width, pa.float64())
+        cols["bin_hi"] = pa.array(lo + (b + 1.0) * width, pa.float64())
+        cols["cnt"] = batch["cnt"]
+        return pa.table(cols)
 
     return merged.map_batches(edges, batch_format="pyarrow")
 

@@ -766,3 +766,46 @@ class TestUniqueViolations:
         )
         assert got == [("x", 1, 2), ("y", 2, 2)]
         assert unique_violations(ds.limit(1), ["a", "b"]).count() == 0
+
+
+class TestGroupedHistogram:
+    def test_matches_numpy_per_group(self, ray_session):
+        from osmptparser_ray.stages.relational import histogram
+
+        rng = np.random.default_rng(8)
+        g = rng.choice(["en", "es", "de"], 3000)
+        x = rng.normal(5, 3, 3000)
+        ds = rd.from_arrow(
+            pa.table({"g": pa.array(g), "v": pa.array(x, pa.float64())})
+        ).repartition(4)
+        got = {
+            (r["g"], r["bin"]): r["cnt"]
+            for r in histogram(ds, "v", 0.0, 10.0, 5, group_col="g").take_all()
+        }
+        width = 2.0
+        want = {}
+        for gi in ("en", "es", "de"):
+            m = g == gi
+            b = np.clip(np.floor((x[m] - 0.0) / width), 0, 4).astype(int)
+            for i, c in enumerate(np.bincount(b, minlength=5)):
+                if c:
+                    want[(gi, i)] = int(c)
+        assert got == want
+
+    def test_grouped_matches_global_on_one_group(self, ray_session):
+        from osmptparser_ray.stages.relational import histogram
+
+        x = np.r_[np.linspace(0, 9.9, 97), np.nan, np.nan, 5.0]
+        ds = rd.from_arrow(
+            pa.table(
+                {"g": pa.array(["only"] * 100), "v": pa.array(x, pa.float64())}
+            )
+        ).repartition(3)
+        grouped = sorted(
+            (r["bin"], r["cnt"])
+            for r in histogram(ds, "v", 0.0, 10.0, 4, group_col="g").take_all()
+        )
+        plain = sorted(
+            (r["bin"], r["cnt"]) for r in histogram(ds, "v", 0.0, 10.0, 4).take_all()
+        )
+        assert grouped == plain

@@ -461,8 +461,19 @@ class ShardedNodeIndex:
 
 
 def _split_node_block(block, num_shards: int, stop_sorted):
-    """One node block → per-shard pieces (ran as a Ray task, P returns)."""
+    """One node block → per-shard pieces (ran as a Ray task, P returns).
+
+    Ray's map operator emits a COLUMNLESS ``()`` empty block when a pyarrow
+    UDF returns zero rows (kind-narrow PBF sources hit this, round-5) — an
+    empty/columnless block contributes empty pieces to every shard."""
     b = block
+    if b.num_rows == 0 or "id" not in b.schema.names:
+        empty_tags = pa.chunked_array([], pa.map_(pa.string(), pa.string()))
+        piece = (
+            np.empty(0, np.int64), np.empty(0, np.float64),
+            np.empty(0, np.float64), np.empty(0, np.int64), empty_tags,
+        )
+        return tuple(piece for _ in range(num_shards))
     ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     lats = b["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
     lons = b["lon"].to_numpy(zero_copy_only=False).astype(np.float64)

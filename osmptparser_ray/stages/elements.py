@@ -268,9 +268,17 @@ def _idset_bucket(ids: np.ndarray, P: int) -> np.ndarray:
 
 
 def _split_idset_block(block: pa.Table, columns: list, P: int):
-    """One materialized block → P sorted-unique id piece arrays."""
+    """One materialized block → P sorted-unique id piece arrays.
+
+    Missing columns contribute nothing: Ray's map operator emits a
+    COLUMNLESS ``()`` empty block when a pyarrow UDF returns zero rows
+    (observed on kind-narrow PBF sources, round-5 fix — the r4 driver's
+    ``ptv2_from_pbf``/``pbf_roundtrip`` crash), so ``block[col]`` must not
+    be assumed present on empty blocks."""
     parts = []
     for col in columns:
+        if col not in block.schema.names:
+            continue  # columnless/narrow empty block (see docstring)
         c = block[col].combine_chunks()
         parts.append(c.flatten().to_numpy(zero_copy_only=False).astype(np.int64))
     vals = (
@@ -461,6 +469,8 @@ def _split_elements_by_kind(
 
     @ray.remote(num_returns=3)
     def split(block):
+        from ..sources.osmxml import ELEMENT_SCHEMA
+
         t = (
             block
             if isinstance(block, pa.Table)
@@ -469,7 +479,16 @@ def _split_elements_by_kind(
         out = []
         for kind, cols in _SPLIT_COLS.items():
             part = t.filter(pc.equal(t["kind"], kind))
-            out.append(part.select([c for c in cols if c in part.schema.names]))
+            # schema-ful output even when the source block is kind-narrow
+            # (round-5: a column the block doesn't carry is null-filled at
+            # its canonical ELEMENT_SCHEMA type, never silently dropped)
+            data = {
+                c: part[c]
+                if c in part.schema.names
+                else pa.nulls(part.num_rows, ELEMENT_SCHEMA.field(c).type)
+                for c in cols
+            }
+            out.append(pa.table(data))
         return tuple(out)
 
     rel_refs, way_refs, node_refs = [], [], []

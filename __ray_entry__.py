@@ -1353,6 +1353,41 @@ def _q_running_agg(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_n", "running_sum"])
 
 
+def _q_lead_lag_rank(sf_dir: str):
+    """LAG / LEAD / DENSE_RANK per user (round-5): the remaining SQL
+    window staples on the running_agg sort-scan chassis — one sort,
+    per-block boundary summaries, O(#blocks) carry chain, vectorized
+    emit. (ts, event_id) is a total order per user, so LAG/LEAD are
+    deterministic; boundary nulls are coalesced to -1 in BOTH engines
+    (int64 stays hash-exact; NaN would poison the value compare)."""
+    from osmptparser_ray.stages.relational import lead_lag_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "v_cents", pa.array(np.floor(v * 100).astype(np.int64), pa.int64())
+        )
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow").drop_columns(["value"])
+    out = lead_lag_rank(ds, "user_id", ["ts", "event_id"], "v_cents")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        sent = pa.scalar(-1, pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "lag_v": pc.fill_null(t["lag_v"], sent),
+                "lead_v": pc.fill_null(t["lead_v"], sent),
+                "dense_rank": t["dense_rank"],
+            }
+        )
+
+    return out.map_batches(coalesce, batch_format="pyarrow")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (round-4): id-ordered token-stream slicing into
     fixed 256-token training sequences — pack_id/pack_off per document.
@@ -2210,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "running_agg": _q_running_agg,
+        "lead_lag_rank": _q_lead_lag_rank,
         "anti_join": _q_anti_join,
         "anti_join_shuffle": _q_anti_join_shuffle,
         "hll_distinct": _q_hll_distinct,
@@ -2689,6 +2725,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, user_id, CAST(floor(value*100) AS BIGINT) AS v "
             "FROM events) WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+        ),
+        "lead_lag_rank": (
+            "SELECT event_id, user_id, "
+            "COALESCE(LAG(v) OVER w, -1) AS lag_v, "
+            "COALESCE(LEAD(v) OVER w, -1) AS lead_v, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS dense_rank FROM ("
+            "SELECT event_id, ts, user_id, CAST(floor(value*100) AS BIGINT) AS v "
+            "FROM events) WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)"
         ),
         "pack_sequences": (
             "SELECT doc_id, n_tokens, "

@@ -24,6 +24,21 @@ import ray.data as rd
 
 
 
+def _rank_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
+    """Global per-query merge of partial top-k rows via the sort-scan
+    ``topk_per_group`` (round-5, VERDICT r4 #3): ZERO per-query Python —
+    the old ``groupby(query_id).map_groups`` paid one pandas UDF dispatch
+    per query id (measured 150× worse than sort-scan at 100k groups,
+    NOTES_ROUND4 #1), which at 10^8 queries IS the pipeline. Tie order
+    (score desc, vec_id asc) matches the retired pandas merge exactly."""
+    from ..stages.relational import topk_per_group
+
+    ranked = topk_per_group(
+        partials, "query_id", "score", k, tiebreak_col="vec_id", descending=True
+    )
+    return ranked.select_columns(["query_id", "rank", "vec_id", "score"])
+
+
 def _to_matrix(col) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix (zero-ish copy)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -87,14 +102,7 @@ def knn_bruteforce(
     partials = vectors.map_batches(
         lambda t, _cls=PartialTopK: _cls()(t), batch_format="pyarrow"
     )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _rank_topk(partials, k)
 
 
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:
@@ -178,14 +186,7 @@ def lsh_ann(
     partials = vectors.map_batches(
         lambda t, _cls=BucketRefine: _cls()(t), batch_format="pyarrow"
     )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _rank_topk(partials, k)
 
 
 def cosine_near_dup(
@@ -480,14 +481,7 @@ def ivf_ann(
         )
 
     partials = assigned.map_batches(refine, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _rank_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------

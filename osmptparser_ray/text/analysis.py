@@ -609,12 +609,18 @@ def normalize_text(
     from scraped HTML all collapse to one canonical byte sequence, so
     exact dedup and fingerprints stop missing visually identical docs).
 
-    Normalization runs through stdlib ``unicodedata`` per string — NOT
+    Normalization runs through stdlib ``unicodedata`` — NOT
     ``pc.utf8_normalize``, whose composing forms are broken in this
     pyarrow build (verified: NFC/NFKC of ``e + U+0301`` stays decomposed
     while NFD works; stdlib and DuckDB ``nfc_normalize`` both compose).
-    Optional ``utf8_lower`` / whitespace-collapse stay C++ kernels. The
-    oracle is live SQL against DuckDB's ICU-class implementation.
+    The stdlib call is per-STRING Python, so the column is
+    dictionary-encoded first and only the UNIQUE strings are normalized
+    (round-5, VERDICT r4 #4): web corpora are heavy with repeated
+    boilerplate, and ASCII-pure uniques (the overwhelming majority) are
+    skipped entirely via one vectorized max-codepoint test — NFC/NFD/NFKC/
+    NFKD are all identity maps on ASCII. Optional ``utf8_lower`` /
+    whitespace-collapse stay C++ kernels. The oracle is live SQL against
+    DuckDB's ICU-class implementation.
     """
     import unicodedata
 
@@ -622,11 +628,24 @@ def normalize_text(
         raise ValueError(f"unknown normalization form: {form!r}")
 
     def f(batch: pa.Table) -> pa.Table:
-        vals = [
-            None if s is None else unicodedata.normalize(form, s)
-            for s in batch[col].to_pylist()
-        ]
-        v = pa.array(vals, pa.string())
+        dict_arr = pc.dictionary_encode(batch[col].combine_chunks())
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        uniq = dict_arr.dictionary
+        # ASCII uniques are already normalized (all four forms are the
+        # identity on ASCII) — find the non-ASCII ones vectorized
+        nbytes = pc.binary_length(uniq).to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(uniq).to_numpy(zero_copy_only=False)
+        mask = nbytes != nchars
+        if mask.any():
+            py = uniq.filter(pa.array(mask)).to_pylist()
+            fixed = [
+                None if s is None else unicodedata.normalize(form, s) for s in py
+            ]
+            uniq = pc.replace_with_mask(
+                uniq, pa.array(mask), pa.array(fixed, pa.string())
+            )
+        v = pc.take(uniq, dict_arr.indices)
         if lower:
             v = pc.utf8_lower(v)
         if collapse_ws:

@@ -781,21 +781,45 @@ def simhash_near_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
+def duplicate_groups(
+    pairs: rd.Dataset,
+    max_rounds: int = 10,
+    *,
+    plan: str = "auto",
+    broadcast_cap: int = 2_000_000,
+) -> rd.Dataset:
     """Connected components over (doc_a, doc_b) pairs → (doc_id, rep_id).
 
-    Distributed min-label propagation: each round every node adopts the min
-    label over {self} ∪ neighbors' labels, implemented as a hash join
-    (edges ⨝ labels on peer) + groupby-min — no driver-side graph state.
-    Rounds are O(component diameter), bounded by ``max_rounds``;
-    convergence is detected by the (monotonically decreasing) global label
-    sum. Duplicate clusters are shallow in practice, so this terminates in
-    a few rounds.
+    ``plan="shuffle"`` — distributed min-label propagation: each round
+    every node adopts the min label over {self} ∪ neighbors' labels,
+    implemented as a hash join (edges ⨝ labels on peer) + groupby-min —
+    no driver-side graph state. Rounds are O(component diameter), bounded
+    by ``max_rounds``; convergence is detected by the (monotonically
+    decreasing) global label sum. The beyond-memory path.
+
+    ``plan="broadcast"`` — the pair set of a dedup pipeline is typically
+    orders of magnitude smaller than the corpus, and the shuffle plan pays
+    ~2 aggregator-pool spin-ups PER ROUND (the measured iterative-Dataset
+    fixed cost, NOTES_ROUND4 pagerank: dominates below ~10^7 rows). Below
+    ``broadcast_cap`` pairs the edge list is collected once (16 B/pair)
+    and components run as vectorized numpy min-propagation with pointer
+    jumping on the driver — same output (parity-tested), no per-round
+    Dataset operators. ``plan="auto"`` (default) materializes ``pairs``
+    (also avoids double-executing the upstream verify pipeline) and picks
+    by count.
     """
     import ray
     from ray.data.aggregate import Min
 
     from ..util import JOIN_AGG_ARGS, join_partitions
+
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"plan must be 'auto', 'broadcast' or 'shuffle', got {plan!r}")
+    if plan == "auto":
+        pairs = pairs.materialize()
+        plan = "broadcast" if pairs.count() <= broadcast_cap else "shuffle"
+    if plan == "broadcast":
+        return _duplicate_groups_broadcast(pairs)
 
     npart = join_partitions()
     agg_args = JOIN_AGG_ARGS
@@ -864,4 +888,44 @@ def duplicate_groups(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
         return pa.table({"doc_id": batch["node"], "rep_id": batch["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def _duplicate_groups_broadcast(pairs: rd.Dataset) -> rd.Dataset:
+    """Driver-numpy connected components (see duplicate_groups docstring):
+    min-label propagation with pointer jumping — O((E+V)·log diameter)
+    vectorized work, exact fixpoint (no max_rounds bound needed)."""
+    a_parts, b_parts = [], []
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        a_parts.append(b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        b_parts.append(b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not a_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+            )
+        )
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    # nodes is sorted ascending, so min INDEX within a component == min
+    # node id — identical rep choice to the shuffle plan's min label
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        new = label.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = new[new]  # pointer jump halves chain depth each round
+        if np.array_equal(new, label):
+            break
+        label = new
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "rep_id": pa.array(nodes[label], pa.int64()),
+            }
+        )
+    )
 

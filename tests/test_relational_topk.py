@@ -100,6 +100,110 @@ class TestTopkPerGroup:
         assert out.count() == 0
 
 
+class TestLeadLagRank:
+    def test_matches_window_oracle_with_ties(self, ray_session):
+        """Random keyed data with DUPLICATE order values (dense-rank ties)
+        and many forced block boundaries, vs the DuckDB window oracle.
+        LAG/LEAD are checked on the tie-free (key, o1, o2) total order."""
+        import duckdb
+
+        from osmptparser_ray.stages.relational import lead_lag_rank
+
+        rng = np.random.default_rng(42)
+        n = 5000
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+                "o1": pa.array(rng.integers(0, 25, n), pa.int64()),  # ties!
+                "o2": pa.array(np.arange(n), pa.int64()),  # tiebreaker
+                "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(29)
+        out = (
+            lead_lag_rank(ds, "k", ["o1", "o2"], "v")
+            .to_pandas()
+            .sort_values("o2")
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas()
+        oracle = duckdb.sql(
+            "SELECT o2, LAG(v) OVER w AS lag_v, LEAD(v) OVER w AS lead_v, "
+            "CAST(dense_rank() OVER w AS BIGINT) AS dense_rank "
+            "FROM df WINDOW w AS (PARTITION BY k ORDER BY o1, o2) ORDER BY o2"
+        ).df()
+        for c in ("lag_v", "lead_v"):
+            a, b = out[c].values, oracle[c].values
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        assert (out["dense_rank"].values == oracle["dense_rank"].values).all()
+        # tie behavior (dense rank over o1 ALONE, ties share ranks) vs oracle
+        out_t = (
+            lead_lag_rank(ds, "k", ["o1"], "v")
+            .to_pandas()
+            .sort_values("o2")
+            .reset_index(drop=True)
+        )
+        oracle_t = duckdb.sql(
+            "SELECT o2, CAST(dense_rank() OVER (PARTITION BY k ORDER BY o1) "
+            "AS BIGINT) AS dense_rank FROM df ORDER BY o2"
+        ).df()
+        assert (out_t["dense_rank"].values == oracle_t["dense_rank"].values).all()
+
+    def test_single_key_spanning_blocks_and_boundary_tie(self, ray_session):
+        """One key across many blocks; order values repeat ACROSS block
+        boundaries, exercising the merge branch of the dense-rank carry."""
+        from osmptparser_ray.stages.relational import lead_lag_rank
+
+        n = 600
+        o = np.repeat(np.arange(n // 3), 3)  # every order value 3 times
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1] * n, pa.int64()),
+                    "o": pa.array(o, pa.int64()),
+                    "u": pa.array(np.arange(n), pa.int64()),
+                    "v": pa.array(np.arange(n) * 10, pa.int64()),
+                }
+            )
+        ).repartition(31)
+        out = (
+            lead_lag_rank(ds, "k", ["o", "u"], "v")
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        assert (out["dense_rank"].values == np.arange(1, n + 1)).all()
+        assert np.isnan(out["lag_v"].values[0]) and np.isnan(out["lead_v"].values[-1])
+        assert (out["lag_v"].values[1:] == (np.arange(n - 1)) * 10).all()
+        assert (out["lead_v"].values[:-1] == (np.arange(1, n)) * 10).all()
+        # dense rank over o ALONE (drop the tiebreaker): ties share ranks
+        out2 = (
+            lead_lag_rank(ds, "k", ["o"], "v")
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        assert (out2["dense_rank"].values == np.repeat(np.arange(1, n // 3 + 1), 3)).all()
+
+    def test_empty_input(self, ray_session):
+        from osmptparser_ray.stages.relational import lead_lag_rank
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        )
+        # contract: no crash, zero rows. (Ray 2.49 from_arrow drops the
+        # schema of 0-row tables entirely — same platform quirk as every
+        # other sort-scan operator's empty branch.)
+        out = lead_lag_rank(ds, "k", ["o"], "v").to_pandas()
+        assert len(out) == 0
+
+
 class TestRunningAgg:
     def test_matches_window_oracle(self, ray_session, sf_dir):
         import duckdb

@@ -213,6 +213,27 @@ class TestDuplicateGroups:
         got = {r["doc_id"]: r["rep_id"] for r in duplicate_groups(pairs).take_all()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
+    def test_broadcast_shuffle_parity(self, ray_session):
+        """Both physical plans (driver-numpy pointer jumping vs per-round
+        join+groupby-min) produce identical components — incl. a long
+        chain (deep diameter) and singleton-free star shapes."""
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import duplicate_groups
+
+        edges = (
+            [{"doc_a": i, "doc_b": i + 1} for i in range(100, 140)]  # long chain
+            + [{"doc_a": 7, "doc_b": x} for x in (900, 901, 902)]  # star
+            + [{"doc_a": 55, "doc_b": 54}]  # reversed order pair
+        )
+        pairs = rd.from_items(edges)
+        a = {r["doc_id"]: r["rep_id"]
+             for r in duplicate_groups(pairs, plan="broadcast").take_all()}
+        b = {r["doc_id"]: r["rep_id"]
+             for r in duplicate_groups(pairs, plan="shuffle", max_rounds=64).take_all()}
+        assert a == b
+        assert a[139] == 100 and a[902] == 7 and a[54] == 54 and a[55] == 54
+
 
 class TestWinnowing:
     def test_shared_substring_guarantee(self, ray_session):

@@ -116,9 +116,20 @@ def pagerank(
         )
     if plan not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown plan: {plan!r}")
+    # the broadcast plan keys node state by SORTED int64 arrays —
+    # non-integer node ids (strings, etc.) must use the join plan
+    # (ADVICE r4: auto used to crash on string ids instead of falling back)
+    node_type = nodes.schema(fetch_if_missing=True).base_schema.field("node").type
+    int_ids = pa.types.is_integer(node_type)
     if plan == "auto":
-        plan = "broadcast" if n <= broadcast_cap else "shuffle"
+        plan = "broadcast" if (n <= broadcast_cap and int_ids) else "shuffle"
     if plan == "broadcast":
+        if not int_ids:
+            raise ValueError(
+                "pagerank plan='broadcast' requires integer node ids "
+                f"(got {node_type}); hash ids to int64 upstream or use "
+                "plan='shuffle'"
+            )
         return _pagerank_broadcast(edges, n_iter, d, src_col, dst_col, nodes, n)
 
     outdeg = _healed(

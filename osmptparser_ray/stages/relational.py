@@ -1695,8 +1695,11 @@ def rollup_agg(
         )
         levels.append(lvl)
     # grand total: two scalars off the (already tiny) finest table
-    tot_n = finest.sum("n")
-    tot_v = finest.sum("sum_v")
+    # EMPTY input (ADVICE r4): Dataset.sum returns None over zero rows —
+    # emit the SQL-style single grand-total row (ALL…, n=0) with sum_v
+    # coalesced to 0 (the schema is non-null int64; SQL would say NULL)
+    tot_n = finest.sum("n") or 0
+    tot_v = finest.sum("sum_v") or 0
     levels.append(
         rd.from_arrow(
             pa.table(
@@ -2602,8 +2605,11 @@ def cube_agg(
                 .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
                 .map_batches(fill(lc), batch_format="pyarrow")
             )
-    tot_n = finest.sum("n")
-    tot_v = finest.sum("sum_v")
+    # EMPTY input (ADVICE r4): Dataset.sum returns None over zero rows —
+    # emit the SQL-style single grand-total row (ALL…, n=0) with sum_v
+    # coalesced to 0 (the schema is non-null int64; SQL would say NULL)
+    tot_n = finest.sum("n") or 0
+    tot_v = finest.sum("sum_v") or 0
     levels.append(
         rd.from_arrow(
             pa.table(

@@ -211,17 +211,25 @@ def sessionize_append(
         )
 
         def stitch(batch: pa.Table) -> pa.Table:
-            t_end = batch["t_end"].to_numpy(zero_copy_only=False)
-            has_tail = ~pa.compute.is_null(batch["t_end"]).to_numpy(
-                zero_copy_only=False
-            )
+            # Nullable int64 out of the left-outer join must NOT round-trip
+            # through float64 (to_numpy of a null-bearing int column emits
+            # NaN-float — exact only below 2^53, ADVICE r4): fill_null to
+            # the sentinel IN ARROW so every array stays int64 end-to-end.
+            pc_ = pa.compute
+            MIN64 = np.iinfo(np.int64).min
+            has_tail = ~pc_.is_null(batch["t_end"]).to_numpy(zero_copy_only=False)
+
+            def i64(col, sentinel):
+                return pc_.fill_null(
+                    pc_.cast(batch[col], pa.int64()), pa.scalar(sentinel, pa.int64())
+                ).to_numpy(zero_copy_only=False)
+
+            t_end_i = i64("t_end", MIN64)
             first = batch["first_start"].to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
             if strict and has_tail.any():
-                bad = has_tail & (
-                    first < np.where(has_tail, t_end, np.iinfo(np.int64).min)
-                )
+                bad = has_tail & (first < t_end_i)
                 if bad.any():
                     u = batch["user_id"].to_numpy(zero_copy_only=False)[bad][:5]
                     raise ValueError(
@@ -230,20 +238,11 @@ def sessionize_append(
                         "the append-log contract requires per-user "
                         "non-decreasing time across chunks"
                     )
-            t_sid = np.where(
-                has_tail, batch["t_sid"].to_numpy(zero_copy_only=False), 0
-            ).astype(np.int64)
-            t_end_i = np.where(has_tail, t_end, np.iinfo(np.int64).min).astype(
-                np.int64
-            )
+            t_sid = i64("t_sid", 0)
             merge = has_tail & (first - t_end_i <= gap_us)
             offset = t_sid - merge.astype(np.int64)
-            t_n = np.where(
-                has_tail, batch["t_n"].to_numpy(zero_copy_only=False), 0
-            ).astype(np.int64)
-            t_start = np.where(
-                has_tail, batch["t_start"].to_numpy(zero_copy_only=False), 0
-            ).astype(np.int64)
+            t_n = i64("t_n", 0)
+            t_start = i64("t_start", 0)
             return pa.table(
                 {
                     "user_id": batch["user_id"],

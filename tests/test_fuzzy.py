@@ -105,6 +105,44 @@ class TestEditDistancePairs:
         ]
         assert got == [(0, 1, 0)]
 
+    def test_codepoint_level_non_ascii(self, ray_session):
+        """ADVICE r4 regression: distances are CODEPOINT-level — an
+        accented-char substitution costs 1 (the old bytes-level DP
+        charged up to 4 and byte-length banding could miss the pair),
+        and the band uses char counts (é is 2 utf-8 bytes)."""
+        from osmptparser_ray.text.fuzzy import edit_distance_pairs, levenshtein_batch
+
+        assert levenshtein_batch(["café"], ["cafe"]).tolist() == [1]
+        assert levenshtein_batch(["naïve"], ["naive"]).tolist() == [1]
+        assert levenshtein_batch(["日本語です"], ["日本語だよ"]).tolist() == [2]
+        texts = ["café con leche", "cafe con leche", "käse küche xyz"]
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(_ds(texts), k=2).take_all()
+        )
+        assert got == [(0, 1, 1)]
+
+    def test_chunked_dp_parity(self):
+        """The chunked DP returns the same distances as one-shot (chunk
+        boundary crossing the pair list)."""
+        from osmptparser_ray.text.fuzzy import levenshtein_batch
+
+        rng = np.random.default_rng(3)
+        alpha = list("abcé日")
+        pairs = [
+            (
+                "".join(rng.choice(alpha, rng.integers(0, 10))),
+                "".join(rng.choice(alpha, rng.integers(0, 10))),
+            )
+            for _ in range(50)
+        ]
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        one = levenshtein_batch(a, b)
+        many = levenshtein_batch(a, b, chunk_pairs=7)
+        assert one.tolist() == many.tolist()
+        assert one.tolist() == [_lev_ref(x, y) for x, y in pairs]
+
     def test_caps_raise(self, ray_session):
         from osmptparser_ray.text.fuzzy import edit_distance_pairs
 

@@ -67,6 +67,29 @@ class TestPagerank:
         for v in a:
             assert a[v] == pytest.approx(b[v], abs=1e-12)
 
+    def test_string_node_ids_auto_plan(self, ray_session):
+        """ADVICE r4: plan='auto' used to crash on non-integer node ids
+        (broadcast hard-casts to int64) — it must fall back to the
+        shuffle plan; an explicit broadcast request raises clearly."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.graph import pagerank
+
+        ed = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["a", "b", "c", "a"]),
+                    "dst": pa.array(["b", "c", "a", "c"]),
+                }
+            )
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(ed, n_iter=4).take_all()}
+        assert set(got) == {"a", "b", "c"}
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        with pytest.raises(ValueError, match="integer node ids"):
+            pagerank(ed, n_iter=2, plan="broadcast")
+
     def test_cycle_uniform_exact_both_plans(self, ray_session):
         from osmptparser_ray.graph import pagerank
 

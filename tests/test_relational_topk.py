@@ -795,6 +795,31 @@ class TestCubeAgg:
         assert rows[("ALL", "ALL")] == (5, 150)
         assert len(rows) == 9
 
+    def test_empty_input(self, ray_session):
+        """ADVICE r4: empty input used to TypeError on int(None) — the
+        contract is one grand-total row (ALL…, 0, 0)."""
+        from osmptparser_ray.stages.relational import cube_agg, rollup_agg
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        )
+        rows = [
+            (r["a"], r["b"], r["n"], r["sum_v"])
+            for r in cube_agg(ds, ["a", "b"], "v").take_all()
+        ]
+        assert rows == [("ALL", "ALL", 0, 0)]
+        rows_r = [
+            (r["a"], r["b"], r["n"], r["sum_v"])
+            for r in rollup_agg(ds, ["a", "b"], "v").take_all()
+        ]
+        assert rows_r == [("ALL", "ALL", 0, 0)]
+
 
 class TestEmptyInputGuards:
     def test_salted_join_empty_sides(self, ray_session):

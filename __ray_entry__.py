@@ -1152,6 +1152,66 @@ def _q_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_heavy_hitters_incremental(sf_dir: str):
+    """Streaming top-k (round-5): the mergeable Misra-Gries sketch wired
+    into the durable append-state machinery — two event chunks (split by
+    ts) folded through ``heavy_hitters_append``; with capacity ≥ distinct
+    users the folded state is EXACT and hash-matches the SQL top-10 count
+    oracle. mg_ok additionally asserts the MG merge theorem live on a
+    second small-capacity (16) fold over the same chunks: every summary
+    item's lb ≤ true ≤ lb+err, every user with true count > err present."""
+    import tempfile
+
+    from osmptparser_ray.state.incremental import heavy_hitters_append
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).materialize()
+    ts_parts = [
+        b["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    split = int(np.median(np.concatenate(ts_parts)))
+
+    def _chunk(keep_early: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks().cast(pa.int64())
+            m = pc.less(ts, split) if keep_early else pc.greater_equal(ts, split)
+            return t.filter(m)
+
+        return f
+
+    c1 = ds.map_batches(_chunk(True), batch_format="pyarrow")
+    c2 = ds.map_batches(_chunk(False), batch_format="pyarrow")
+
+    with tempfile.TemporaryDirectory(prefix="hhinc_") as tmp:
+        heavy_hitters_append(c1, tmp, "user_id", capacity=1 << 20, run_id="c1")
+        summary, err = heavy_hitters_append(
+            c2, tmp, "user_id", capacity=1 << 20, run_id="c2"
+        )
+    assert err == 0  # capacity >= distinct users: the fold is exact
+
+    with tempfile.TemporaryDirectory(prefix="hhinc16_") as tmp:
+        heavy_hitters_append(c1, tmp, "user_id", capacity=16, run_id="c1")
+        small, s_err = heavy_hitters_append(
+            c2, tmp, "user_id", capacity=16, run_id="c2"
+        )
+    true_cnt = dict(
+        zip(summary["user_id"].to_pylist(), summary["lb"].to_pylist())
+    )
+    sk = dict(zip(small["user_id"].to_pylist(), small["lb"].to_pylist()))
+    ok = all(
+        lb <= true_cnt.get(u, 0) <= lb + s_err for u, lb in sk.items()
+    ) and all(u in sk for u, c in true_cnt.items() if c > s_err)
+
+    top = summary.slice(0, 10)
+    return pa.table(
+        {
+            "user_id": pc.cast(top["user_id"], pa.int64()),
+            "cnt": top["lb"],
+            "mg_ok": pa.array([bool(ok)] * top.num_rows, pa.bool_()),
+        }
+    )
+
+
 def _q_cube(sf_dir: str):
     """GROUP BY CUBE (round-4 late): all 4 grouping sets over
     (status, priority) — the rollup sibling that also emits the
@@ -2255,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": _q_rollup,
         "cube_agg": _q_cube,
         "heavy_hitters": _q_heavy_hitters,
+        "heavy_hitters_incremental": _q_heavy_hitters_incremental,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
@@ -2699,6 +2760,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
             "FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 10"
+        ),
+        "heavy_hitters_incremental": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM events "
+            "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"
         ),
         "cube_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

@@ -1751,26 +1751,20 @@ def mg_merge(a, b, capacity: int):
     return _mg_truncate(uitems, ucounts, a[2] + b[2], capacity)
 
 
-def heavy_hitters(
-    ds: rd.Dataset, col: str, k: int, *, capacity: int = 4096
-) -> "tuple[pa.Table, int]":
-    """Approximate top-k frequent values (heavy hitters) via a mergeable
-    Misra-Gries sketch — the "most frequent tokens / urls / users"
-    staple when the full exact vocabulary shuffle (``token_frequencies``)
-    is the wrong default: shuffle volume here is O(#batches · capacity)
-    counters, one streaming pass, driver memory O(capacity).
+def mg_sketch_dataset(
+    ds: rd.Dataset, col: str, capacity: int
+) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Mergeable Misra-Gries summary of a whole Dataset column →
+    (items: object ndarray, lower-bound counts: int64 ndarray, err).
 
-    Guarantee (checked live in the ``heavy_hitters`` driver query): for
-    every returned item, lower_bound ≤ true_count ≤ lower_bound + err,
-    and every value with true count > err is present in the summary.
-    Choose ``capacity ≥ n/err_target``; at capacity ≥ #distinct the
-    sketch is exact (err 0).
-
-    Returns (Arrow table (col, lb:int64) — top-k by lb desc then value
-    asc — , err:int).
+    One streaming pass: per-batch vectorized MG partials (O(capacity)
+    counters each) merged on the driver in O(#batches · capacity). The
+    raw summary merges with any other summary via ``mg_merge`` — the
+    building block of both ``heavy_hitters`` and the incremental
+    ``heavy_hitters_append`` fold.
     """
-    if capacity < 1 or k < 1:
-        raise ValueError("k and capacity must be >= 1")
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_numpy(zero_copy_only=False)
@@ -1816,7 +1810,31 @@ def heavy_hitters(
         counts = valid["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
         acc = mg_merge(acc, (items, counts, 0), capacity)
     items, counts, err = acc
-    err += batch_err_total
+    return items, counts, int(err + batch_err_total)
+
+
+def heavy_hitters(
+    ds: rd.Dataset, col: str, k: int, *, capacity: int = 4096
+) -> "tuple[pa.Table, int]":
+    """Approximate top-k frequent values (heavy hitters) via a mergeable
+    Misra-Gries sketch — the "most frequent tokens / urls / users"
+    staple when the full exact vocabulary shuffle (``token_frequencies``)
+    is the wrong default: shuffle volume here is O(#batches · capacity)
+    counters, one streaming pass, driver memory O(capacity).
+
+    Guarantee (checked live in the ``heavy_hitters`` driver query): for
+    every returned item, lower_bound ≤ true_count ≤ lower_bound + err,
+    and every value with true count > err is present in the summary.
+    Choose ``capacity ≥ n/err_target``; at capacity ≥ #distinct the
+    sketch is exact (err 0).
+
+    Returns (Arrow table (col, lb:int64) — top-k by lb desc then value
+    asc — , err:int). ``mg_sketch_dataset`` exposes the raw mergeable
+    summary for incremental folds (``state.incremental.heavy_hitters_append``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    items, counts, err = mg_sketch_dataset(ds, col, capacity)
     order = np.lexsort((items, -counts))[:k]
     return (
         pa.table({col: pa.array(items[order].tolist()), "lb": pa.array(counts[order], pa.int64())}),

@@ -5,11 +5,18 @@ from .checkpoint import (
     run_partitioned,
     write_partition,
 )
-from .incremental import sessionize_append, sessionize_state_read
+from .incremental import (
+    heavy_hitters_append,
+    heavy_hitters_state_read,
+    sessionize_append,
+    sessionize_state_read,
+)
 
 __all__ = [
     "PartitionRecord",
     "completed_partitions",
+    "heavy_hitters_append",
+    "heavy_hitters_state_read",
     "manifest_path",
     "run_partitioned",
     "sessionize_append",

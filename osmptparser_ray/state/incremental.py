@@ -533,3 +533,123 @@ def _runs(runs_path: str) -> set:
 def _record_run(runs_path: str, run_id: str) -> None:
     with open(runs_path, "a", encoding="utf-8") as f:
         f.write(json.dumps({"run": run_id}) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k: incremental Misra-Gries heavy-hitters state
+# (round-5, VERDICT r4 #7 — the mergeable heavy_hitters partials wired
+# into the same durable append-state machinery as sessionize_append)
+# ---------------------------------------------------------------------------
+
+_HH_PTR = "_HH.json"
+
+
+def _hh_pointer(state_dir: str) -> Optional[dict]:
+    path = os.path.join(state_dir, _HH_PTR)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def heavy_hitters_append(
+    chunk: rd.Dataset,
+    state_dir: str,
+    col: str,
+    *,
+    capacity: int = 4096,
+    run_id: Optional[str] = None,
+) -> "tuple[pa.Table, int]":
+    """Fold one appended chunk into a durable Misra-Gries summary and
+    return the updated full summary (Arrow table (col, lb) sorted by lb
+    desc / value asc, plus the cumulative err).
+
+    Per fold: ONE distributed streaming pass over the chunk
+    (``mg_sketch_dataset`` — O(capacity) counters per batch), then an
+    O(capacity) driver ``mg_merge`` against the saved summary; work is
+    proportional to the CHUNK, never to history. The MG merge theorem
+    (Agarwal et al. 2012) gives the folded summary the same guarantee as
+    a batch sketch over the concatenated log: true_count ∈ [lb, lb+err],
+    and err ≤ the sum of truncation decrements. With ``capacity`` ≥ the
+    stream's distinct-value count the fold is EXACT (err 0) and equals
+    batch ``heavy_hitters`` bit-for-bit (the driver-gate contract).
+
+    Durability mirrors ``sessionize_append``: the summary lives in an
+    atomically-replaced parquet + ``_HH.json`` pointer; ``run_id`` makes
+    re-folding the same chunk a no-op (idempotent resume).
+    """
+    from ..stages.relational import mg_merge, mg_sketch_dataset
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs_path = os.path.join(state_dir, "_HH_RUNS.jsonl")
+    run_id = run_id if run_id is not None else str(len(_runs(runs_path)))
+    if run_id in _runs(runs_path):
+        return heavy_hitters_state_read(state_dir)
+
+    items, counts, err = mg_sketch_dataset(chunk, col, capacity)
+
+    ptr = _hh_pointer(state_dir)
+    if ptr is not None:
+        if ptr["col"] != col:
+            raise ValueError(
+                f"heavy_hitters_append: state tracks column {ptr['col']!r}, "
+                f"got {col!r}"
+            )
+        if ptr["capacity"] != capacity:
+            raise ValueError(
+                "heavy_hitters_append: capacity must stay constant across "
+                f"folds (state {ptr['capacity']}, got {capacity})"
+            )
+        saved = pq_read_table(os.path.join(state_dir, ptr["path"]))
+        s_items = np.asarray(saved[col].to_pylist(), object)
+        s_counts = saved["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts, err = mg_merge(
+            (s_items, s_counts, int(ptr["err"])), (items, counts, err), capacity
+        )
+
+    order = np.lexsort((items, -counts))
+    tbl = pa.table(
+        {
+            col: pa.array(items[order].tolist()),
+            "lb": pa.array(counts[order], pa.int64()),
+        }
+    )
+    rel = f"hh-{run_id}-{uuid.uuid4().hex[:6]}.parquet"
+    tmp = os.path.join(state_dir, rel + ".tmp")
+    pq_write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(state_dir, rel))
+    ptr_tmp = os.path.join(state_dir, f".{_HH_PTR}.{uuid.uuid4().hex[:6]}")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"path": rel, "run": run_id, "err": int(err), "col": col,
+             "capacity": int(capacity)},
+            f,
+        )
+    os.replace(ptr_tmp, os.path.join(state_dir, _HH_PTR))
+    _record_run(runs_path, run_id)
+    return tbl, int(err)
+
+
+def heavy_hitters_state_read(
+    state_dir: str, k: Optional[int] = None
+) -> "tuple[pa.Table, int]":
+    """Current folded summary (optionally truncated to the top ``k``)."""
+    ptr = _hh_pointer(state_dir)
+    if ptr is None:
+        raise FileNotFoundError(f"no heavy-hitters state under {state_dir}")
+    tbl = pq_read_table(os.path.join(state_dir, ptr["path"]))
+    if k is not None:
+        tbl = tbl.slice(0, k)
+    return tbl, int(ptr["err"])
+
+
+def pq_read_table(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def pq_write_table(tbl: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)

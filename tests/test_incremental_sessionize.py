@@ -152,3 +152,91 @@ class TestSessionizeAppend:
                 )
             views[plan] = _sessions(v)
         assert views["broadcast"] == views["shuffle"]
+
+
+class TestHeavyHittersAppend:
+    def _chunks(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        # zipf-ish stream over 40 values, 3 chunks
+        vals = rng.zipf(1.6, 6000) % 40
+        return [vals[:2000], vals[2000:4000], vals[4000:]]
+
+    def test_fold_equals_batch_exact(self, ray_session, tmp_path):
+        """With capacity >= distinct values the fold is exact: folding 3
+        chunks == batch heavy_hitters over the concatenated stream,
+        bit-for-bit, err 0."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import heavy_hitters
+        from osmptparser_ray.state import heavy_hitters_append
+
+        chunks = self._chunks()
+        state = str(tmp_path / "hh")
+        for i, c in enumerate(chunks):
+            tbl, err = heavy_hitters_append(
+                rd.from_arrow(pa.table({"v": pa.array(c, pa.int64())})),
+                state, "v", capacity=1024, run_id=f"c{i}",
+            )
+        assert err == 0
+        full = rd.from_arrow(
+            pa.table({"v": pa.array(np.concatenate(chunks), pa.int64())})
+        )
+        batch_tbl, batch_err = heavy_hitters(full, "v", k=1 << 20, capacity=1024)
+        assert batch_err == 0
+        assert tbl.to_pydict() == batch_tbl.to_pydict()
+
+    def test_truncating_fold_keeps_mg_guarantee(self, ray_session, tmp_path):
+        """capacity 8 << distinct 40: every folded item's lb <= true <=
+        lb+err and every value with true count > err is present."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.state import heavy_hitters_append
+
+        chunks = self._chunks()
+        state = str(tmp_path / "hh8")
+        for i, c in enumerate(chunks):
+            tbl, err = heavy_hitters_append(
+                rd.from_arrow(pa.table({"v": pa.array(c, pa.int64())})),
+                state, "v", capacity=8, run_id=f"c{i}",
+            )
+        allv = np.concatenate(chunks)
+        items, counts = np.unique(allv, return_counts=True)
+        true = dict(zip(items.tolist(), counts.tolist()))
+        sk = dict(zip(tbl["v"].to_pylist(), tbl["lb"].to_pylist()))
+        assert err > 0
+        for v, lb in sk.items():
+            assert lb <= true.get(v, 0) <= lb + err
+        for v, c in true.items():
+            if c > err:
+                assert v in sk
+
+    def test_idempotent_run_and_contract_errors(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+        import pytest as pt
+
+        from osmptparser_ray.state import (
+            heavy_hitters_append,
+            heavy_hitters_state_read,
+        )
+
+        state = str(tmp_path / "hh2")
+        d = rd.from_arrow(pa.table({"v": pa.array([1, 1, 2], pa.int64())}))
+        t1, e1 = heavy_hitters_append(d, state, "v", capacity=64, run_id="r1")
+        # same run id again: no-op, state unchanged
+        t2, e2 = heavy_hitters_append(d, state, "v", capacity=64, run_id="r1")
+        assert t1.to_pydict() == t2.to_pydict() and e1 == e2
+        got, err = heavy_hitters_state_read(state, k=1)
+        assert got["v"].to_pylist() == [1] and got["lb"].to_pylist() == [2]
+        with pt.raises(ValueError, match="column"):
+            heavy_hitters_append(d.map_batches(
+                lambda t: t.rename_columns(["w"]), batch_format="pyarrow"
+            ), state, "w", capacity=64, run_id="r2")
+        with pt.raises(ValueError, match="capacity"):
+            heavy_hitters_append(d, state, "v", capacity=32, run_id="r3")

@@ -237,6 +237,10 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "sessionize_incremental",
         "intersect_distinct",
         "pagerank_orders",
+        # round-5 operators
+        "lead_lag_rank",
+        "heavy_hitters_incremental",
+        "duplicate_groups",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

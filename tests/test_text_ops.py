@@ -708,3 +708,48 @@ class TestNormalizeText:
             for r in tfidf_top_terms(ds, k=2, plan="shuffle").take_all()
         }
         assert a == b
+
+
+class TestWinnowingBatchFlat:
+    def test_differential_vs_scalar_reference(self, ray_session):
+        """Batch-flat winnowing == the scalar per-doc reference on random
+        docs of every size class (empty, < k, == k, <= window, large),
+        across several (k, window) configs and sliced batches."""
+        import numpy as np
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import (
+            _winnow_doc,
+            add_rolling_fingerprints,
+        )
+
+        rng = np.random.default_rng(17)
+        alpha = list("abcdefg XYZ.!áé")
+        docs = ["", "a", "abcd", "abcde", "hello wor", "x" * 7]
+        for _ in range(40):
+            docs.append("".join(rng.choice(alpha, rng.integers(0, 120))))
+        for k, window in ((5, 8), (3, 4), (2, 1), (5, 200)):
+            ds = rd.from_items(
+                [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+            ).repartition(7)
+            got = {
+                r["doc_id"]: list(r["fingerprints"])
+                for r in add_rolling_fingerprints(
+                    ds, k=k, window=window
+                ).take_all()
+            }
+            for i, t in enumerate(docs):
+                assert got[i] == _winnow_doc(t, k, window), (i, k, window, t)
+
+    def test_null_text_is_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import (
+            _winnow_doc,
+            add_rolling_fingerprints,
+        )
+
+        ds = rd.from_arrow(pa.table({"text": pa.array(["abc", None, "xyz"])}))
+        rows = add_rolling_fingerprints(ds).take_all()
+        assert list(rows[1]["fingerprints"]) == _winnow_doc("", 5, 8)

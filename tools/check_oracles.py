@@ -74,7 +74,10 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        import os
+
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
     logging.getLogger("ray.data").setLevel(logging.WARNING)
     from ray.data import DataContext
 
@@ -92,17 +95,22 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    import time as _time
+
+    t_all = _time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             mine = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        dt = _time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(mine)} rows")
+            print(f"ok(rows-only) {name}: {len(mine)} rows [{dt:.2f}s]")
             continue
         try:
             oracle = con.sql(oracles[name]).df()
@@ -115,7 +123,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"OK   {name}: {len(mine)} rows match")
+            print(f"OK   {name}: {len(mine)} rows match [{dt:.2f}s]")
+    print(f"TOTAL {_time.perf_counter() - t_all:.1f}s")
     ray.shutdown()
     return 1 if failures else 0
 

@@ -1212,6 +1212,102 @@ def _q_heavy_hitters_incremental(sf_dir: str):
     )
 
 
+def _decay_events(sf_dir: str):
+    """events → (user_id, ts, v) with v = CAST(floor(value*100) AS BIGINT)
+    (the shared cents convention) for the time-decay queries."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "v": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(cents, batch_format="pyarrow")
+
+
+_DECAY_H_US = 3600_000_000  # 1-hour epochs
+
+_DECAY_SQL = (
+    "WITH e AS (SELECT user_id, "
+    "CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS ep, "
+    "CAST(floor(value * 100.0) AS BIGINT) AS v FROM events), "
+    "m AS (SELECT max(ep) AS now_ep FROM e) "
+    "SELECT e.user_id, CAST(SUM(e.v * (CAST(1 AS BIGINT) "
+    "<< CAST(20 - LEAST(20, m.now_ep - e.ep) AS INT))) AS BIGINT) AS decayed "
+    "FROM e, m GROUP BY e.user_id"
+)
+
+
+def _decay_now_ep(ev) -> int:
+    def eps(t: pa.Table) -> pa.Table:
+        ep = pc.divide(pc.cast(t["ts"], pa.int64()), _DECAY_H_US)
+        return pa.table({"ep": pc.cast(ep, pa.int64())})
+
+    return int(ev.map_batches(eps, batch_format="pyarrow").max("ep"))
+
+
+def _q_time_decay_sum(sf_dir: str):
+    """Exact fixed-point time-decayed engagement per user (round-5):
+    hour-bucketed dyadic decay (weight 2^(20−k), k = hours-before-now
+    clamped at 20) keeps the whole aggregate in int64, so the
+    distributed per-batch-partial + groupby-Sum plan hash-matches the
+    SQL oracle bit-for-bit — the trending-score shape float EMA can't
+    gate exactly."""
+    from osmptparser_ray.stages.relational import decayed_sum
+
+    ev = _decay_events(sf_dir).materialize()
+    return decayed_sum(
+        ev, "user_id", "ts", "v", half_life_us=_DECAY_H_US,
+        now_ep=_decay_now_ep(ev),
+    )
+
+
+def _q_time_decay_incremental(sf_dir: str):
+    """The SAME observable as time_decay_sum through the durable
+    append-state fold (round-5): two event chunks (split by median ts)
+    folded via ``decayed_sum_append`` — per-key bucket state ≤ max_k+1
+    rows compacted exactly under the dyadic clamp, chunks foldable in
+    any order, idempotent run ids. One oracle, two physical plans."""
+    import tempfile
+
+    from osmptparser_ray.state.incremental import (
+        decayed_sum_append,
+        decayed_sum_state_read,
+    )
+
+    ev = _decay_events(sf_dir).materialize()
+    ts_parts = [
+        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        for b in ev.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    split = int(np.median(np.concatenate(ts_parts)))
+
+    def _chunk(keep_early: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks().cast(pa.int64())
+            m = pc.less(ts, split) if keep_early else pc.greater_equal(ts, split)
+            return t.filter(m)
+
+        return f
+
+    c1 = ev.map_batches(_chunk(True), batch_format="pyarrow")
+    c2 = ev.map_batches(_chunk(False), batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="decayinc_") as tmp:
+        decayed_sum_append(
+            c1, tmp, "user_id", "ts", "v", half_life_us=_DECAY_H_US, run_id="c1"
+        )
+        decayed_sum_append(
+            c2, tmp, "user_id", "ts", "v", half_life_us=_DECAY_H_US, run_id="c2"
+        )
+        return decayed_sum_state_read(tmp).materialize()
+
+
 def _q_cube(sf_dir: str):
     """GROUP BY CUBE (round-4 late): all 4 grouping sets over
     (status, priority) — the rollup sibling that also emits the
@@ -2316,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": _q_cube,
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_incremental": _q_heavy_hitters_incremental,
+        "time_decay_sum": _q_time_decay_sum,
+        "time_decay_incremental": _q_time_decay_incremental,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
@@ -2766,6 +2864,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS mg_ok FROM events "
             "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"
         ),
+        "time_decay_sum": _DECAY_SQL,
+        "time_decay_incremental": _DECAY_SQL,
         "cube_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
             "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "

@@ -2676,3 +2676,92 @@ def unique_violations(ds: rd.Dataset, cols) -> rd.Dataset:
         lambda t: t.filter(pc.greater(t["n"], 1)).select(key_cols + ["n"]),
         batch_format="pyarrow",
     )
+
+
+def decayed_sum(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    half_life_us: int,
+    now_ep: int,
+    max_k: int = 20,
+    scale_bits: int = 20,
+) -> rd.Dataset:
+    """Exponentially time-decayed per-key sum in EXACT fixed-point
+    (the freshness-weighted engagement / trending-score shape):
+
+        decayed(key) = Σ value · 2^(scale_bits − k),
+        k = clip(now_ep − ts // half_life_us, 0, max_k)
+
+    Decay is bucketed to ``half_life_us`` epochs and the weight is a
+    dyadic integer, so the whole aggregate is int64 arithmetic —
+    bit-identical across engines AND exactly mergeable (the property the
+    incremental fold ``state.incremental.decayed_sum_append`` relies on;
+    its bucket compaction is exact because every epoch older than
+    ``now_ep − max_k`` is clamped to the same weight forever under a
+    monotone ``now_ep``). A float e^{−λΔt} EMA can't give either
+    guarantee: summation order changes the last bits.
+
+    Plan: per-batch (key, contribution) integer partial sums (argsort +
+    ``np.add.reduceat`` — exact, no float accumulator) → one
+    #keys-sized ``groupby.Sum``. The shuffle carries distinct keys per
+    batch, never rows.
+
+    Overflow contract: requires Σ |value| · 2^scale_bits < 2^63 per key;
+    lower ``scale_bits`` (weights 2^(scale_bits−max_k)..2^scale_bits)
+    when value magnitudes × row counts approach that.
+    """
+    from ray.data.aggregate import Sum
+
+    if not 0 <= max_k <= scale_bits:
+        raise ValueError("require 0 <= max_k <= scale_bits")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "decayed_part": pa.array([], pa.int64()),
+                }
+            )
+        ts = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            batch[val_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ep = ts // half_life_us
+        k = np.clip(now_ep - ep, 0, max_k)
+        contrib = v * np.left_shift(
+            np.int64(1), (scale_bits - k).astype(np.int64)
+        )
+        keys = batch[key_col].combine_chunks()
+        enc = keys.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        sums = np.add.reduceat(contrib[order], starts)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(pa.array(sc[starts])),
+                "decayed_part": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("decayed_part", alias_name="decayed"))
+    )

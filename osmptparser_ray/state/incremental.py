@@ -653,3 +653,200 @@ def pq_write_table(tbl: pa.Table, path: str) -> None:
     import pyarrow.parquet as pq
 
     pq.write_table(tbl, path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental time-decayed sums over an append-only event log
+# (round-5 — the exact dyadic-decay buckets of
+# ``stages.relational.decayed_sum`` wired into the same durable
+# append-state machinery as ``sessionize_append``/``heavy_hitters_append``)
+# ---------------------------------------------------------------------------
+
+_DS_PTR = "_DECAY.json"
+
+
+def _decay_pointer(state_dir: str) -> Optional[dict]:
+    path = os.path.join(state_dir, _DS_PTR)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def decayed_sum_append(
+    chunk: rd.Dataset,
+    state_dir: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    half_life_us: int,
+    max_k: int = 20,
+    run_id: Optional[str] = None,
+) -> int:
+    """Fold one appended event chunk into durable per-key decay-bucket
+    state and return the updated ``now_ep``.
+
+    State is a parquet dataset of (key, ep, v_sum) — per-key RAW value
+    sums per ``half_life_us`` epoch, compacted so every epoch older than
+    ``now_ep − max_k`` collapses into the single clamp bucket
+    ``now_ep − max_k`` (exact: clamped epochs share one dyadic weight
+    forever under the monotone ``now_ep = max epoch seen``). Per key the
+    state is ≤ ``max_k + 1`` rows, independent of history length.
+
+    Per fold: ONE distributed pass over the chunk (per-batch (key, ep)
+    integer partials) + one groupby-Sum over saved-state ∪ chunk
+    partials — work proportional to chunk + state, never to history; no
+    driver-side collection. Chunks may arrive in ANY order (late events
+    just land in — or below — the clamp bucket); ``run_id`` makes
+    re-folding the same chunk a no-op (idempotent resume).
+
+    Parity contract (tested + driver-gated): reading the folded state
+    via ``decayed_sum_state_read`` is int64-identical to batch
+    ``decayed_sum`` over the concatenated log at the same ``now_ep``.
+    """
+    from ray.data.aggregate import Sum
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs_path = os.path.join(state_dir, "_DECAY_RUNS.jsonl")
+    run_id = run_id if run_id is not None else str(len(_runs(runs_path)))
+    ptr = _decay_pointer(state_dir)
+    if run_id in _runs(runs_path):
+        return int(ptr["now_ep"])
+    if ptr is not None and ptr["half_life_us"] != half_life_us:
+        raise ValueError(
+            "decayed_sum_append: half_life_us must stay constant across "
+            f"folds (state {ptr['half_life_us']}, got {half_life_us})"
+        )
+    if ptr is not None and ptr["max_k"] != max_k:
+        raise ValueError(
+            "decayed_sum_append: max_k must stay constant across folds "
+            f"(state {ptr['max_k']}, got {max_k})"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    "ep": pa.array([], pa.int64()),
+                    "v_sum": pa.array([], pa.int64()),
+                }
+            )
+        ts = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            batch[val_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ep = ts // half_life_us
+        keys = batch[key_col].combine_chunks()
+        enc = keys.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ep, codes))
+        sc, se = codes[order], ep[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (sc[1:] != sc[:-1]) | (se[1:] != se[:-1])])
+        )
+        sums = np.add.reduceat(v[order], starts)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(pa.array(sc[starts])),
+                "ep": pa.array(se[starts], pa.int64()),
+                "v_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = chunk.select_columns([key_col, ts_col, val_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    saved_now = int(ptr["now_ep"]) if ptr is not None else None
+    if ptr is not None:
+        parts = parts.union(
+            rd.read_parquet(os.path.join(state_dir, ptr["path"]))
+        )
+    # partials are bucket-compact (≤ keys × epochs rows) — materialize so
+    # the max() probe and the fold below share one chunk scan
+    parts = parts.materialize()
+    chunk_max = parts.max("ep")
+    if chunk_max is None:
+        return saved_now if saved_now is not None else 0
+    now_ep = max(int(chunk_max), saved_now) if saved_now is not None else int(
+        chunk_max
+    )
+    floor_ep = now_ep - max_k
+
+    def compact(batch: pa.Table) -> pa.Table:
+        ep = pc.max_element_wise(batch["ep"], pa.scalar(floor_ep, pa.int64()))
+        return batch.set_column(batch.schema.get_field_index("ep"), "ep", ep)
+
+    folded = (
+        parts.map_batches(compact, batch_format="pyarrow")
+        .groupby([key_col, "ep"])
+        .aggregate(Sum("v_sum", alias_name="v_sum"))
+    )
+
+    rel = f"decay-{run_id}-{uuid.uuid4().hex[:6]}"
+    final = os.path.join(state_dir, rel)
+    tmp = final + ".tmp"
+    folded.write_parquet(tmp)
+    os.replace(tmp, final)
+    ptr_tmp = os.path.join(state_dir, f".{_DS_PTR}.{uuid.uuid4().hex[:6]}")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "path": rel,
+                "run": run_id,
+                "now_ep": int(now_ep),
+                "key_col": key_col,
+                "half_life_us": int(half_life_us),
+                "max_k": int(max_k),
+            },
+            f,
+        )
+    os.replace(ptr_tmp, os.path.join(state_dir, _DS_PTR))
+    _record_run(runs_path, run_id)
+    return int(now_ep)
+
+
+def decayed_sum_state_read(
+    state_dir: str, *, scale_bits: int = 20
+) -> rd.Dataset:
+    """Finalize the folded decay buckets: (key, decayed) with
+    decayed = Σ v_sum · 2^(scale_bits − clip(now_ep − ep, 0, max_k)) —
+    the int64 fixed-point view batch ``decayed_sum`` produces."""
+    from ray.data.aggregate import Sum
+
+    ptr = _decay_pointer(state_dir)
+    if ptr is None:
+        raise FileNotFoundError(f"no decayed-sum state under {state_dir}")
+    now_ep, max_k, key_col = int(ptr["now_ep"]), int(ptr["max_k"]), ptr["key_col"]
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ep = batch["ep"].to_numpy(zero_copy_only=False)
+        v = batch["v_sum"].to_numpy(zero_copy_only=False)
+        k = np.clip(now_ep - ep, 0, max_k)
+        contrib = v * np.left_shift(
+            np.int64(1), (scale_bits - k).astype(np.int64)
+        )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "decayed_part": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(os.path.join(state_dir, ptr["path"]))
+        .map_batches(weigh, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("decayed_part", alias_name="decayed"))
+    )

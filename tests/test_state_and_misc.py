@@ -402,3 +402,121 @@ class TestPngCodec:
         payload[8 + 8 + 8] = 16  # IHDR bit-depth byte
         with pt.raises((NotImplementedError, Exception)):
             _decode_png(bytes(payload))
+
+
+class TestDecayedSum:
+    """Exact dyadic time-decay: batch operator + incremental fold parity."""
+
+    def _events(self, rng, n=4000, users=37, hours=80):
+        import numpy as np
+
+        h = 3600_000_000
+        ts = rng.integers(0, hours * h, n, dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, users, n, dtype=np.int64), pa.int64()
+                ),
+                "ts": pa.array(ts, pa.int64()),
+                "v": pa.array(
+                    rng.integers(-500, 5000, n, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _batch_ref(self, tbl, now_ep, max_k=20, scale_bits=20):
+        import numpy as np
+
+        h = 3600_000_000
+        ep = tbl["ts"].to_numpy() // h
+        k = np.clip(now_ep - ep, 0, max_k)
+        c = tbl["v"].to_numpy() * (np.int64(1) << (scale_bits - k))
+        out = {}
+        for u, x in zip(tbl["user_id"].to_numpy(), c):
+            out[int(u)] = out.get(int(u), 0) + int(x)
+        return out
+
+    def test_batch_matches_scalar_reference(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import decayed_sum
+
+        rng = np.random.default_rng(5)
+        tbl = self._events(rng)
+        now_ep = int(tbl["ts"].to_numpy().max() // 3600_000_000)
+        got = {
+            int(r["user_id"]): int(r["decayed"])
+            for r in decayed_sum(
+                rd.from_arrow(tbl).repartition(9),
+                "user_id", "ts", "v",
+                half_life_us=3600_000_000, now_ep=now_ep,
+            ).take_all()
+        }
+        assert got == self._batch_ref(tbl, now_ep)
+
+    def test_incremental_fold_parity_and_state_bound(
+        self, ray_session, tmp_path
+    ):
+        """Three chunks folded in a shuffled order == batch; per-key state
+        stays <= max_k+1 rows; refolding a run_id is a no-op; constants
+        are locked across folds."""
+        import numpy as np
+        import pytest
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import decayed_sum
+        from osmptparser_ray.state.incremental import (
+            decayed_sum_append,
+            decayed_sum_state_read,
+            pq_read_table,
+            _decay_pointer,
+        )
+
+        h = 3600_000_000
+        rng = np.random.default_rng(11)
+        tbl = self._events(rng, n=6000, hours=200)  # >> max_k epochs
+        now_ep = int(tbl["ts"].to_numpy().max() // h)
+        order = tbl["ts"].to_numpy().argsort()
+        tbl = tbl.take(pa.array(order))
+        thirds = [tbl.slice(0, 2000), tbl.slice(2000, 2000), tbl.slice(4000)]
+        state = str(tmp_path / "decay")
+        for rid, part in (("b", thirds[1]), ("a", thirds[0]), ("c", thirds[2])):
+            decayed_sum_append(
+                rd.from_arrow(part).repartition(5), state,
+                "user_id", "ts", "v", half_life_us=h, run_id=rid,
+            )
+        # idempotent refold
+        n_again = decayed_sum_append(
+            rd.from_arrow(thirds[0]), state, "user_id", "ts", "v",
+            half_life_us=h, run_id="a",
+        )
+        assert n_again == now_ep
+        inc = {
+            int(r["user_id"]): int(r["decayed"])
+            for r in decayed_sum_state_read(state).take_all()
+        }
+        batch = {
+            int(r["user_id"]): int(r["decayed"])
+            for r in decayed_sum(
+                rd.from_arrow(tbl), "user_id", "ts", "v",
+                half_life_us=h, now_ep=now_ep,
+            ).take_all()
+        }
+        assert inc == batch
+        ptr = _decay_pointer(state)
+        st = pq_read_table(os.path.join(state, ptr["path"]))
+        per_key = {}
+        for u in st["user_id"].to_numpy():
+            per_key[int(u)] = per_key.get(int(u), 0) + 1
+        assert max(per_key.values()) <= 21  # max_k + 1 buckets
+        with pytest.raises(ValueError, match="half_life_us"):
+            decayed_sum_append(
+                rd.from_arrow(thirds[0]), state, "user_id", "ts", "v",
+                half_life_us=h * 2, run_id="z",
+            )
+        with pytest.raises(ValueError, match="max_k"):
+            decayed_sum_append(
+                rd.from_arrow(thirds[0]), state, "user_id", "ts", "v",
+                half_life_us=h, max_k=5, run_id="z",
+            )

@@ -1111,6 +1111,65 @@ def _q_percent_rank(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "pct_rank"])
 
 
+def _q_ntile(sf_dir: str):
+    """NTILE(4) per key (round-5, composition): running row numbers from
+    the ``running_agg`` sort-scan + per-key totals broadcast — bucket
+    assignment is the ANSI remainder-to-front rule in pure int64
+    (q = n//N, r = n%N; first r buckets get q+1 rows), so the result is
+    hash-exact against the SQL window oracle."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.stages.relational import broadcast_join, running_agg
+
+    N = 4
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        lambda t: t.append_column(
+            "__one", pa.array(np.ones(len(t), np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    rn = running_agg(ds, "user_id", ["ts", "event_id"], "__one")
+    totals = ds.groupby("user_id").aggregate(Count(alias_name="n_grp"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rnv = t["running_n"].to_numpy(zero_copy_only=False)
+        n = t["n_grp"].to_numpy(zero_copy_only=False)
+        q, r = n // N, n % N
+        thresh = r * (q + 1)
+        front = rnv <= thresh
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                front,
+                (rnv - 1) // np.maximum(q + 1, 1),
+                r + (rnv - 1 - thresh) // np.maximum(q, 1),
+            ) + 1
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return broadcast_join(rn, totals, "user_id").map_batches(
+        bucket, batch_format="pyarrow"
+    )
+
+
+def _q_argmax_per_group(sf_dir: str):
+    """arg-max row per key (round-5, composition): each user's
+    highest-value event via ``topk_per_group(k=1)`` — the sort-scan plan,
+    zero per-group UDF; float value ties broken by event_id asc exactly
+    as the ROW_NUMBER oracle does."""
+    from osmptparser_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = topk_per_group(
+        ds, "user_id", "value", 1, tiebreak_col="event_id", descending=True
+    )
+    return out.select_columns(["user_id", "event_id", "value"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters (round-4): frequent tokens via a
     mergeable O(capacity) sketch, one streaming pass, no vocabulary
@@ -2414,6 +2473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_incremental": _q_heavy_hitters_incremental,
         "time_decay_sum": _q_time_decay_sum,
         "time_decay_incremental": _q_time_decay_incremental,
+        "ntile": _q_ntile,
+        "argmax_per_group": _q_argmax_per_group,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
@@ -2866,6 +2927,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "time_decay_sum": _DECAY_SQL,
         "time_decay_incremental": _DECAY_SQL,
+        "ntile": (
+            "SELECT event_id, user_id, CAST(NTILE(4) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile "
+            "FROM events"
+        ),
+        "argmax_per_group": (
+            "SELECT user_id, event_id, value FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id ASC) = 1"
+        ),
         "cube_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
             "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "

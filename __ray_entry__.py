@@ -1170,6 +1170,18 @@ def _q_argmax_per_group(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "value"])
 
 
+def _q_global_index(sf_dir: str):
+    """Deterministic global shuffle + contiguous shard assignment
+    (round-5): the reproducible-training-data primitive — one sort by
+    the closed-form hash IS the shuffle, positions from block metadata
+    + an O(#blocks) prefix chain. Hash-exact against the SQL
+    ROW_NUMBER-over-hash-order oracle."""
+    from osmptparser_ray.stages.relational import global_index
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    return global_index(ds, "event_id", n_shards=8)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters (round-4): frequent tokens via a
     mergeable O(capacity) sketch, one streaming pass, no vocabulary
@@ -2475,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_decay_incremental": _q_time_decay_incremental,
         "ntile": _q_ntile,
         "argmax_per_group": _q_argmax_per_group,
+        "global_index": _q_global_index,
         "percent_rank": _q_percent_rank,
         "explode_list": _q_explode,
         "pivot_agg": _q_pivot,
@@ -2936,6 +2949,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, value FROM events "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
             "ORDER BY value DESC, event_id ASC) = 1"
+        ),
+        "global_index": (
+            "WITH h AS (SELECT event_id, "
+            "((event_id % 2147483648) * 2654435761) % 4294967296 AS hh "
+            "FROM events), p AS (SELECT event_id, "
+            "ROW_NUMBER() OVER (ORDER BY hh, event_id) AS pos, "
+            "COUNT(*) OVER () AS total FROM h) "
+            "SELECT event_id, CAST(pos AS BIGINT) AS pos, "
+            "CAST((pos - 1) * 8 // total AS BIGINT) AS shard FROM p"
         ),
         "cube_agg": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "

@@ -2765,3 +2765,94 @@ def decayed_sum(
         .groupby(key_col)
         .aggregate(Sum("decayed_part", alias_name="decayed"))
     )
+
+
+def global_index(
+    ds: rd.Dataset,
+    on: str,
+    *,
+    salt: int = 0,
+    n_shards: Optional[int] = None,
+    pos_out: str = "pos",
+    shard_out: str = "shard",
+) -> rd.Dataset:
+    """Deterministic global shuffle index — the training-data shard
+    primitive: every row gets its 1-based position ``pos_out`` under the
+    closed-form hash order (hash(id), id), plus (optionally) a contiguous
+    shard id ``shard_out = (pos−1)·n_shards // total``. Reproducible
+    across runs, partitionings, and engines (the same hash + window runs
+    in SQL), unlike ``Dataset.random_shuffle``.
+
+    Hash: ``((id mod 2^31)·K + salt) mod 2^32`` — the
+    ``deterministic_sample`` closed form (31-bit mask keeps every SQL
+    intermediate inside BIGINT; non-negative-id contract, see there).
+    The id tiebreak makes the order total even under hash collisions.
+
+    Physical plan: one distributed sort by (hash, id) — the shuffle IS
+    the product — then per-block row counts (block metadata, no data
+    read) feed an O(#blocks) driver prefix chain and a vectorized
+    per-block emit of ``offset + arange``. No per-row Python, nothing
+    driver-collected but #blocks integers.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            batch[on].to_numpy(zero_copy_only=False), np.int64
+        )
+        h = ((keys % (1 << 31)) * _SAMPLE_MULT + salt) % (1 << 32)
+        return batch.append_column("__h", pa.array(h, pa.int64()))
+
+    sorted_ds = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .sort(["__h", on])
+        .materialize()
+    )
+
+    refs, counts = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            if md.num_rows == 0:
+                continue
+            refs.append(ref)
+            counts.append(md.num_rows)
+    if any(c is None for c in counts):
+
+        @ray.remote
+        def _count(block) -> int:
+            return _as_arrow_block(block).num_rows
+
+        counts = ray.get([_count.remote(r) for r in refs])
+        refs = [r for r, c in zip(refs, counts) if c > 0]
+        counts = [c for c in counts if c > 0]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+
+    @ray.remote
+    def emit(block, offset: int) -> pa.Table:
+        block = _as_arrow_block(block)
+        pos = offset + np.arange(1, block.num_rows + 1, dtype=np.int64)
+        out = block.drop_columns(["__h"]).append_column(
+            pos_out, pa.array(pos, pa.int64())
+        )
+        if n_shards is not None:
+            out = out.append_column(
+                shard_out,
+                pa.array((pos - 1) * n_shards // max(total, 1), pa.int64()),
+            )
+        return out
+
+    if not refs:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        empty = (
+            pa.table({f.name: pa.array([], f.type) for f in base})
+            if base is not None
+            else pa.table({})
+        )
+        empty = empty.append_column(pos_out, pa.array([], pa.int64()))
+        if n_shards is not None:
+            empty = empty.append_column(shard_out, pa.array([], pa.int64()))
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(
+        [emit.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
+    )

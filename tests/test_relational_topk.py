@@ -938,3 +938,43 @@ class TestGroupedHistogram:
             (r["bin"], r["cnt"]) for r in histogram(ds, "v", 0.0, 10.0, 4).take_all()
         )
         assert grouped == plain
+
+
+class TestGlobalIndex:
+    def test_matches_numpy_reference_and_block_invariance(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import global_index
+
+        rng = np.random.default_rng(3)
+        ids = rng.permutation(5000).astype(np.int64)
+        h = ((ids % (1 << 31)) * 2654435761) % (1 << 32)
+        order = np.lexsort((ids, h))
+        ref_pos = np.empty(len(ids), np.int64)
+        ref_pos[order] = np.arange(1, len(ids) + 1)
+        ref = {int(i): int(p) for i, p in zip(ids, ref_pos)}
+        for parts in (1, 7, 64):
+            ds = rd.from_items([{"id": int(i)} for i in ids]).repartition(parts)
+            out = global_index(ds, "id", n_shards=8).take_all()
+            got = {r["id"]: r["pos"] for r in out}
+            assert got == ref, parts
+            shards = {r["id"]: r["shard"] for r in out}
+            n = len(ids)
+            for r in out:
+                assert r["shard"] == (r["pos"] - 1) * 8 // n
+            # contiguous: shard is monotone in pos and spans 0..7
+            by_pos = sorted(out, key=lambda r: r["pos"])
+            sh = [r["shard"] for r in by_pos]
+            assert sh == sorted(sh) and sh[0] == 0 and sh[-1] == 7
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import global_index
+
+        ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+        out = global_index(ds, "id", n_shards=4)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"id", "pos", "shard"}

@@ -2427,6 +2427,79 @@ def _q_admin_areas(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_corr_by_group(sf_dir: str):
+    """Per-group Pearson correlation of quantity vs line number with
+    EXACT int64 second-order moments (round-5): the float64 corr /
+    cov_pop / var columns are bit-identical to SQL because both engines
+    evaluate the SAME expression tree over the same exact integers (one
+    int→float conversion each, < 2⁵³; sqrt correctly rounded)."""
+    from osmptparser_ray.stages.stats import corr_by_group
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linenumber"])
+    return corr_by_group(li, "l_returnflag", "l_quantity", "l_linenumber")
+
+
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count of the lineitem orderkey↔partkey co-occurrence
+    graph folded onto 997 nodes (round-5): degree-orientation wedge
+    counting (Suri & Vassilvitskii) — orientation caps out-degree at
+    ~√(2m) BEFORE pair generation, the skew-taming step that makes the
+    operator viable on power-law web graphs. Broadcast plan here (997
+    nodes); the no-driver-state shuffle twin is parity-tested in pytest
+    (tests/test_graph_ops.py)."""
+    import ray.data as rd
+
+    from osmptparser_ray.graph import triangle_count
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(o % 997, pa.int64()),
+                "dst": pa.array(p % 997, pa.int64()),
+            }
+        )
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return triangle_count(edges, plan="broadcast")
+
+
+def _q_skyline(sf_dir: str):
+    """Pareto frontier (min value, min timestamp) over distinct event
+    points (round-5): per-block local skyline prune — a globally
+    non-dominated point survives every local prune, so only block
+    survivors travel — then one final prune. Timestamps as µs-since-epoch
+    doubles stay exact (< 2⁵³), so the frontier hash-matches the SQL
+    running-min window oracle."""
+    from osmptparser_ray.stages.stats import skyline
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "x": pc.cast(t["value"], pa.float64()),
+                "y": pa.array(ts.astype(np.int64).astype(np.float64), pa.float64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["value", "ts"]).map_batches(proj, batch_format="pyarrow")
+    return skyline(ev, ["x", "y"])
+
+
+def _q_group_concat(sf_dir: str):
+    """Ordered per-user event-type trace — SQL string_agg(... ORDER BY)
+    (round-5): sort-scan with per-block C++ binary_join run concats and an
+    O(#blocks) driver stitch chain for boundary-spanning groups; zero
+    per-group UDFs."""
+    from osmptparser_ray.stages.relational import group_concat_sorted
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    return group_concat_sorted(ev, "user_id", ["event_id"], "event_type", sep=",")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ptv2_fixture": _q_ptv2_fixture,
@@ -2523,6 +2596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "broadcast_enrich": _q_broadcast_enrich,
         "parser_summary": _q_parser_summary,
+        "corr_by_group": _q_corr_by_group,
+        "triangle_count": _q_triangle_count,
+        "skyline": _q_skyline,
+        "group_concat": _q_group_concat,
         "admin_areas": _q_admin_areas,
     }
 
@@ -3210,4 +3287,46 @@ def oracle_sql() -> dict[str, str]:
     # folding chunks through sessionize_append must equal batch sessionize
     # over the whole log — same oracle by construction
     out["sessionize_incremental"] = out["sessionize"]
+    # round-5: exact integer-moment grouped correlation — both engines
+    # evaluate the IDENTICAL float expression over identical exact int64
+    # operands, so every float64 column hash-matches bitwise
+    out["corr_by_group"] = (
+        "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sx, "
+        "SUM(CAST(l_linenumber AS BIGINT)) AS sy, "
+        "SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx, "
+        "SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy, "
+        "SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) "
+        "* sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS cov_pop, "
+        "CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_x, "
+        "CAST(n*syy - sy*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_y FROM m"
+    )
+    # round-5: triangle count — orientation-free 3-way self-join oracle
+    # over the same canonical (u < v) distinct edge set
+    out["triangle_count"] = (
+        "WITH raw AS (SELECT l_orderkey % 997 AS a, l_partkey % 997 AS b FROM lineitem), "
+        "e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS triangles "
+        "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
+    )
+    # round-5: 2-D skyline via the running-min window formulation (exact
+    # on DISTINCT lexsorted points: a point is dominated iff some
+    # strictly-preceding point has y' ≤ y)
+    out["skyline"] = (
+        "WITH d AS (SELECT DISTINCT CAST(value AS DOUBLE) AS x, "
+        "CAST(epoch_us(ts) AS DOUBLE) AS y FROM events), "
+        "s AS (SELECT x, y, MIN(y) OVER (ORDER BY x, y "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d) "
+        "SELECT x, y FROM s WHERE pm IS NULL OR pm > y"
+    )
+    # round-5: ordered per-group concatenation
+    out["group_concat"] = (
+        "SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS concat "
+        "FROM events GROUP BY user_id"
+    )
     return out

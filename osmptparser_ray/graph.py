@@ -367,3 +367,433 @@ def _pagerank_broadcast(
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# triangle counting
+# --------------------------------------------------------------------------
+
+
+def _canonical_edges(edges: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    """Undirected edge list → distinct canonical pairs (u < v), self-loops
+    dropped: per-batch vectorized canonicalize + dedup, one groupby-Count
+    for the global distinct (map-side combine keeps the shuffle small)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        uv = np.unique(np.column_stack([u, v]), axis=0)
+        return pa.table(
+            {"u": pa.array(uv[:, 0], pa.int64()), "v": pa.array(uv[:, 1], pa.int64())}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["u", "v"])
+    )
+
+
+def _wedge_pair_counts(
+    dst: np.ndarray, run_start: np.ndarray, edge_keys: np.ndarray, n_nodes: int,
+    chunk_pairs: int = 1 << 22,
+) -> int:
+    """Count closed wedges: for each src-run of the (rank-relabelled,
+    (src, dst)-sorted) oriented edge list, every out-neighbor pair
+    (dst_i, dst_j), i < j is a wedge; it closes a triangle iff the
+    directed edge (dst_i → dst_j) exists (membership = searchsorted into
+    the broadcast sorted key array; keys pack as a·n + b, safe in int64
+    for n ≤ ~3·10⁹^0.5 — guarded by the caller's node cap).
+
+    Pair generation is the repeat/cumsum shape, processed in
+    ``chunk_pairs`` slices so a mega-hub's d²/2 pairs never allocate at
+    once (orientation already caps out-degree at ~√(2m))."""
+    n = len(dst)
+    if n == 0:
+        return 0
+    run_end = np.empty(len(run_start), np.int64)
+    run_end[:-1] = run_start[1:]
+    run_end[-1] = n
+    run_id = np.repeat(np.arange(len(run_start)), run_end - run_start)
+    reps = (run_end[run_id] - np.arange(n) - 1).astype(np.int64)
+    total = int(reps.sum())
+    if total == 0:
+        return 0
+    starts = np.concatenate([[0], np.cumsum(reps)])[:-1]
+    count = 0
+    # walk LEFT elements in slices whose pair totals stay ≤ chunk_pairs
+    cuts = np.searchsorted(starts, np.arange(0, total, chunk_pairs), side="right") - 1
+    cuts = np.unique(np.concatenate([cuts, [n]]))
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        r = reps[s:e]
+        m = int(r.sum())
+        if m == 0:
+            continue
+        left = np.repeat(np.arange(s, e, dtype=np.int64), r)
+        seq = np.arange(m, dtype=np.int64) - (starts[s:e] - starts[s])[left - s]
+        right = left + 1 + seq
+        keys = dst[left] * np.int64(n_nodes) + dst[right]
+        ix = np.searchsorted(edge_keys, keys)
+        ix[ix == len(edge_keys)] = 0
+        count += int((edge_keys[ix] == keys).sum()) if len(edge_keys) else 0
+    return count
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    plan: str = "auto",
+    node_cap: int = 4_000_000,
+) -> rd.Dataset:
+    """Exact triangle count of the undirected graph (single-row output
+    ``{triangles: int64}``).
+
+    Physical plan (the degree-orientation MapReduce algorithm —
+    Suri & Vassilvitskii 2011, public): orient each canonical edge from
+    the endpoint with the smaller (degree, id) to the larger. Every
+    triangle then has EXACTLY ONE node with out-edges to the other two
+    (its minimum), so counting closed out-neighbor pairs counts each
+    triangle once — and orientation caps out-degree at ~√(2m), taming
+    hub skew before wedge generation.
+
+    ``plan="broadcast"`` (auto ≤ ``node_cap`` nodes): degrees collect to
+    the driver, nodes are rank-relabelled by (deg, id), the sorted edge
+    keys broadcast once (``ray.put``); wedge pairs are generated and
+    membership-counted per BLOCK of the (src, dst)-sorted oriented edges
+    — runs split across block boundaries are detected by an O(#blocks)
+    driver chain and re-counted driver-side from the shipped boundary
+    rows (≤ 2·√(2m) rows per block).
+
+    ``plan="shuffle"``: no driver-sized state — degrees stay a Dataset,
+    orientation is by raw (deg, id) pairs via two hash joins, wedges are
+    emitted as a Dataset and closed by a distributed inner join against
+    the oriented edges. The beyond-memory twin (node/edge sets too big
+    to ray.put); same output, parity-tested.
+    """
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown plan: {plan!r}")
+    canon = _canonical_edges(edges, src_col, dst_col).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "deg_part": pa.array(c, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg = (
+        canon.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg_part", alias_name="deg"))
+    )
+
+    if plan == "auto":
+        n_nodes = deg.count()
+        plan = "broadcast" if n_nodes <= node_cap else "shuffle"
+
+    if plan == "broadcast":
+        return _triangles_broadcast(canon, deg, node_cap)
+    return _triangles_shuffle(canon, deg)
+
+
+def _triangles_broadcast(canon: rd.Dataset, deg: rd.Dataset, node_cap: int) -> rd.Dataset:
+    import ray
+
+    from .util import cached_get
+
+    nodes_parts, deg_parts = [], []
+    for b in deg.iter_batches(batch_format="pyarrow", batch_size=None):
+        nodes_parts.append(b["node"].to_numpy(zero_copy_only=False))
+        deg_parts.append(b["deg"].to_numpy(zero_copy_only=False))
+    node_ids = np.concatenate(nodes_parts) if nodes_parts else np.empty(0, np.int64)
+    degs = np.concatenate(deg_parts) if deg_parts else np.empty(0, np.int64)
+    n = len(node_ids)
+    if n == 0:
+        return rd.from_arrow(pa.table({"triangles": pa.array([0], pa.int64())}))
+    if n > node_cap:
+        raise ValueError(
+            f"triangle_count broadcast plan: {n} nodes exceed node_cap="
+            f"{node_cap}; use plan='shuffle'"
+        )
+    # rank by (deg, id): lexsort's LAST key is primary
+    order = np.lexsort((node_ids, degs))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    sorted_ids = np.sort(node_ids)
+    rank_by_sorted = rank[np.argsort(node_ids, kind="stable")]
+    lookup_ref = ray.put((sorted_ids, rank_by_sorted))
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        ids, rk = cached_get(lookup_ref)
+        a = rk[np.searchsorted(ids, batch["u"].to_numpy(zero_copy_only=False))]
+        b = rk[np.searchsorted(ids, batch["v"].to_numpy(zero_copy_only=False))]
+        src = np.minimum(a, b)
+        dst = np.maximum(a, b)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = canon.map_batches(relabel, batch_format="pyarrow").materialize()
+    # broadcast the sorted packed edge-key set once
+    key_parts = []
+    for b in oriented.iter_batches(batch_format="pyarrow", batch_size=None):
+        key_parts.append(
+            b["src"].to_numpy(zero_copy_only=False) * np.int64(n)
+            + b["dst"].to_numpy(zero_copy_only=False)
+        )
+    edge_keys = np.sort(np.concatenate(key_parts)) if key_parts else np.empty(0, np.int64)
+    keys_ref = ray.put(edge_keys)
+
+    from .stages.relational import _as_arrow_block, _nonempty_block_refs
+
+    sorted_ds = oriented.sort(["src", "dst"]).materialize()
+    block_refs = _nonempty_block_refs(sorted_ds)
+
+    @ray.remote
+    def summarize(block):
+        block = _as_arrow_block(block)
+        if block.num_rows == 0:
+            return None
+        s = block["src"].to_numpy(zero_copy_only=False)
+        return {"first": int(s[0]), "last": int(s[-1]), "single": bool(s[0] == s[-1])}
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    # flags: a block's first/last run is SPLIT if the neighbor block
+    # shares that src — split runs are counted driver-side from shipped rows
+    flags = []
+    for i, s in enumerate(summaries):
+        if s is None:
+            flags.append((False, False))
+            continue
+        prev = next(
+            (summaries[j] for j in range(i - 1, -1, -1) if summaries[j] is not None),
+            None,
+        )
+        nxt = next(
+            (summaries[j] for j in range(i + 1, len(summaries)) if summaries[j] is not None),
+            None,
+        )
+        skip_first = prev is not None and prev["last"] == s["first"]
+        skip_last = nxt is not None and nxt["first"] == s["last"]
+        flags.append((skip_first, skip_last))
+
+    @ray.remote
+    def count_block(block, skip_first: bool, skip_last: bool):
+        block = _as_arrow_block(block)
+        if block.num_rows == 0:
+            return 0, pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        keys = cached_get(keys_ref)
+        s = block["src"].to_numpy(zero_copy_only=False)
+        d = block["dst"].to_numpy(zero_copy_only=False)
+        m = len(s)
+        is_new = np.ones(m, bool)
+        is_new[1:] = s[1:] != s[:-1]
+        run_start = np.flatnonzero(is_new)
+        # ship rows of split first/last runs; count the rest locally
+        ship = np.zeros(m, bool)
+        if skip_first:
+            end0 = run_start[1] if len(run_start) > 1 else m
+            ship[:end0] = True
+        if skip_last:
+            ship[run_start[-1]:] = True
+        local = ~ship
+        ls, ld = s[local], d[local]
+        lm = len(ls)
+        if lm:
+            ln = np.ones(lm, bool)
+            ln[1:] = ls[1:] != ls[:-1]
+            cnt = _wedge_pair_counts(ld, np.flatnonzero(ln), keys, n)
+        else:
+            cnt = 0
+        shipped = pa.table(
+            {"src": pa.array(s[ship], pa.int64()), "dst": pa.array(d[ship], pa.int64())}
+        )
+        return cnt, shipped
+
+    results = ray.get(
+        [count_block.remote(r, *flags[i]) for i, r in enumerate(block_refs)]
+    )
+    total = sum(c for c, _ in results)
+    boundary = pa.concat_tables([t for _, t in results])
+    if boundary.num_rows:
+        bs = boundary["src"].to_numpy(zero_copy_only=False)
+        bd = boundary["dst"].to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((bd, bs))
+        bs, bd = bs[order2], bd[order2]
+        ln = np.ones(len(bs), bool)
+        ln[1:] = bs[1:] != bs[:-1]
+        total += _wedge_pair_counts(bd, np.flatnonzero(ln), edge_keys, n)
+    return rd.from_arrow(pa.table({"triangles": pa.array([total], pa.int64())}))
+
+
+def _triangles_shuffle(canon: rd.Dataset, deg: rd.Dataset) -> rd.Dataset:
+    """The beyond-memory twin: orientation via two hash joins against the
+    degree Dataset; wedges emitted as a Dataset and closed by a
+    distributed inner join (no driver-sized arrays anywhere)."""
+    import ray
+
+    from .stages.relational import _as_arrow_block, _nonempty_block_refs
+
+    nparts = join_partitions()
+    # Dataset.join drops the right key column itself — only rename needed
+    withu = canon.join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=("u",), right_on=("node",), aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    ).rename_columns({"deg": "deg_u"})
+    both = withu.join(
+        deg, join_type="inner", num_partitions=nparts,
+        on=("v",), right_on=("node",), aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    ).rename_columns({"deg": "deg_v"})
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = batch["deg_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch["deg_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        dd = np.where(u_first, dv, du)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "deg_dst": pa.array(dd, pa.int64()),
+            }
+        )
+
+    oriented = both.map_batches(orient, batch_format="pyarrow").materialize()
+    # sort so each src-run's neighbors appear in orientation order
+    # ((deg, id) asc) — consecutive pairs are then oriented wedges
+    sorted_ds = oriented.sort(["src", "deg_dst", "dst"]).materialize()
+    block_refs = _nonempty_block_refs(sorted_ds)
+
+    @ray.remote
+    def summarize(block):
+        block = _as_arrow_block(block)
+        if block.num_rows == 0:
+            return None
+        s = block["src"].to_numpy(zero_copy_only=False)
+        return {"first": int(s[0]), "last": int(s[-1])}
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+    flags = []
+    for i, s in enumerate(summaries):
+        if s is None:
+            flags.append((False, False))
+            continue
+        prev = next(
+            (summaries[j] for j in range(i - 1, -1, -1) if summaries[j] is not None),
+            None,
+        )
+        nxt = next(
+            (summaries[j] for j in range(i + 1, len(summaries)) if summaries[j] is not None),
+            None,
+        )
+        flags.append(
+            (
+                prev is not None and prev["last"] == s["first"],
+                nxt is not None and nxt["first"] == s["last"],
+            )
+        )
+
+    def _pairs(s: np.ndarray, d: np.ndarray) -> pa.Table:
+        m = len(s)
+        if m == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        is_new = np.ones(m, bool)
+        is_new[1:] = s[1:] != s[:-1]
+        run_start = np.flatnonzero(is_new)
+        run_end = np.empty(len(run_start), np.int64)
+        run_end[:-1] = run_start[1:]
+        run_end[-1] = m
+        run_id = np.repeat(np.arange(len(run_start)), run_end - run_start)
+        reps = (run_end[run_id] - np.arange(m) - 1).astype(np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(reps)])[:-1]
+        left = np.repeat(np.arange(m, dtype=np.int64), reps)
+        seq = np.arange(total, dtype=np.int64) - starts[left]
+        right = left + 1 + seq
+        return pa.table(
+            {"src": pa.array(d[left], pa.int64()), "dst": pa.array(d[right], pa.int64())}
+        )
+
+    @ray.remote(num_returns=2)
+    def wedge_block(block, skip_first: bool, skip_last: bool):
+        block = _as_arrow_block(block)
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty, empty
+        s = block["src"].to_numpy(zero_copy_only=False)
+        d = block["dst"].to_numpy(zero_copy_only=False)
+        m = len(s)
+        is_new = np.ones(m, bool)
+        is_new[1:] = s[1:] != s[:-1]
+        run_start = np.flatnonzero(is_new)
+        ship = np.zeros(m, bool)
+        if skip_first:
+            end0 = run_start[1] if len(run_start) > 1 else m
+            ship[:end0] = True
+        if skip_last:
+            ship[run_start[-1]:] = True
+        shipped = pa.table(
+            {"src": pa.array(s[ship], pa.int64()), "dst": pa.array(d[ship], pa.int64())}
+        )
+        return _pairs(s[~ship], d[~ship]), shipped
+
+    # wedge blocks STAY distributed (refs, never fetched — the whole point
+    # of the beyond-memory twin); only the small boundary slices collect
+    wedge_refs, ship_refs = [], []
+    for i, r in enumerate(block_refs):
+        w_ref, s_ref = wedge_block.remote(r, *flags[i])
+        wedge_refs.append(w_ref)
+        ship_refs.append(s_ref)
+    boundary = pa.concat_tables(ray.get(ship_refs))
+    if boundary.num_rows:
+        bs = boundary["src"].to_numpy(zero_copy_only=False)
+        bd = boundary["dst"].to_numpy(zero_copy_only=False)
+        # orientation order within a run was (deg_dst, dst); shipped rows
+        # lost deg_dst — pair order is recovered from row order, which IS
+        # global sort order (blocks ship contiguous slices, concatenated
+        # in block order)
+        w = _pairs(bs, bd)
+        if w.num_rows:
+            wedge_refs.append(ray.put(w))
+    wedges = rd.from_arrow_refs(wedge_refs)
+    # EMPTY blocks on a join side crash Acero ("No match for key field",
+    # the NOTES_ROUND2/3 rule) — probe lazily, then heal block structure
+    if wedges.limit(1).count() == 0:
+        return rd.from_arrow(pa.table({"triangles": pa.array([0], pa.int64())}))
+    wedges = _healed(wedges, 64)
+    edge_side = _healed(
+        oriented.select_columns(["src", "dst"]).map_batches(
+            lambda t: t.append_column("_e", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        ),
+        64,
+    )
+    joined = wedges.join(
+        edge_side, join_type="inner", num_partitions=nparts,
+        on=("src", "dst"), aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    total = joined.count()
+    return rd.from_arrow(pa.table({"triangles": pa.array([int(total)], pa.int64())}))

@@ -2856,3 +2856,141 @@ def global_index(
     return rd.from_arrow_refs(
         [emit.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
     )
+
+
+def group_concat_sorted(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: "list[str]",
+    value_col: str,
+    *,
+    sep: str = ",",
+    out: str = "concat",
+) -> rd.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY ...) GROUP BY key`` — ordered
+    per-group concatenation (doc reassembly from chunks, per-user event
+    traces, prompt assembly from ranked snippets).
+
+    Physical plan (sort-scan, zero per-group UDFs): one distributed sort
+    by ``(key, *order_cols)``; per-block run concats via the C++
+    ``binary_join`` kernel over a run-offset ListArray (no per-row
+    Python); an O(#blocks) driver chain stitches runs that span block
+    boundaries — each block emits its complete runs, every block's LAST
+    run is deferred to the chain, and the chain emits one row per carried
+    run (≤ #blocks driver-side rows).
+
+    Driver-memory contract: the chain holds the concat strings of runs
+    that TOUCH a block boundary (≤ 2 per block) — bounded by
+    #blocks × the largest single group's concatenated size. A group whose
+    concat exceeds worker/driver string limits needs a different output
+    layout (list<chunk> pages), not this operator.
+
+    NULL values are a loud error (SQL's string_agg SKIPS nulls — a silent
+    fill would diverge from the oracle); fill or filter upstream.
+
+    Output: (key, out) — one row per key.
+    """
+    sorted_ds = ds.sort([key_col] + list(order_cols)).materialize()
+    block_refs = _nonempty_block_refs(sorted_ds)
+    _blk = _as_arrow_block
+
+    if not block_refs:
+        key_type = None
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        key_type = base.field(key_col).type if base is not None else pa.int64()
+        return rd.from_arrow(
+            pa.table({key_col: pa.array([], key_type), out: pa.array([], pa.string())})
+        )
+
+    def _run_concats(block: pa.Table):
+        """(keys-per-run, concat-per-run) via one vectorized binary_join."""
+        g = block[key_col].to_numpy(zero_copy_only=False)
+        vals = block[value_col].combine_chunks()
+        if not pa.types.is_string(vals.type) and not pa.types.is_large_string(vals.type):
+            vals = pc.cast(vals, pa.string())
+        if vals.null_count:
+            raise ValueError(
+                "group_concat_sorted: NULL values in the value column — "
+                "SQL string_agg skips NULLs; fill or filter upstream"
+            )
+        n = len(g)
+        is_new = np.ones(n, bool)
+        is_new[1:] = g[1:] != g[:-1]
+        run_start = np.flatnonzero(is_new)
+        offsets = np.concatenate([run_start, [n]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(lists, sep)
+        run_keys = block[key_col].take(pa.array(run_start))
+        return run_keys, joined
+
+    @ray.remote
+    def summarize(block):
+        block = _blk(block)
+        if block.num_rows == 0:
+            return None
+        keys, concats = _run_concats(block)
+        return {
+            "first_key": keys[0].as_py(),
+            "last_key": keys[-1].as_py(),
+            "first_concat": concats[0].as_py(),
+            "last_concat": concats[-1].as_py(),
+            "single": len(keys) == 1,
+        }
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    # driver chain: per-block prefix for its first emitted run, plus the
+    # deferred boundary rows the chain itself emits
+    prefixes: "list[str]" = []
+    extra_keys, extra_vals = [], []
+    carry_key, carry_str = None, None
+    for s in summaries:
+        if s is None:
+            prefixes.append("")
+            continue
+        if carry_key is not None and carry_key != s["first_key"]:
+            extra_keys.append(carry_key)
+            extra_vals.append(carry_str)
+            carry_key, carry_str = None, None
+        pref = (carry_str + sep) if carry_key is not None else ""
+        prefixes.append(pref)
+        if s["single"]:
+            carry_key, carry_str = s["first_key"], pref + s["first_concat"]
+        else:
+            carry_key, carry_str = s["last_key"], s["last_concat"]
+    if carry_key is not None:
+        extra_keys.append(carry_key)
+        extra_vals.append(carry_str)
+
+    key_type = _as_arrow_block(ray.get(block_refs[0])).schema.field(key_col).type
+
+    @ray.remote
+    def emit(block, prefix: str) -> pa.Table:
+        block = _blk(block)
+        if block.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], key_type), out: pa.array([], pa.string())}
+            )
+        keys, concats = _run_concats(block)
+        r = len(keys)
+        # last run is ALWAYS deferred to the chain; first emitted run
+        # gets the carried prefix
+        if r == 1:
+            return pa.table(
+                {key_col: pa.array([], key_type), out: pa.array([], pa.string())}
+            )
+        keys_out = keys.slice(0, r - 1)
+        concats_out = concats.slice(0, r - 1)
+        if prefix:
+            first = pa.array([prefix + concats_out[0].as_py()], pa.string())
+            rest = concats_out.slice(1)
+            concats_out = pa.concat_arrays([first, rest.combine_chunks() if isinstance(rest, pa.ChunkedArray) else rest])
+        return pa.table({key_col: keys_out, out: concats_out})
+
+    out_refs = [emit.remote(r, prefixes[i]) for i, r in enumerate(block_refs)]
+    extra = pa.table(
+        {key_col: pa.array(extra_keys, key_type), out: pa.array(extra_vals, pa.string())}
+    )
+    out_refs.append(ray.put(extra))
+    return rd.from_arrow_refs(out_refs)

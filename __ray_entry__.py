@@ -83,6 +83,37 @@ _STOP_RE_EN = r"\b(" + "|".join(_EN_STOP) + r")\b"
 _STOP_RE_ES = r"\b(" + "|".join(_ES_STOP) + r")\b"
 
 
+# in-process memo of MATERIALIZED element datasets shared by the four
+# ptv2-plan gate queries (round-5, VERDICT r4 #2: the queries test four
+# different INGEST plans — scan3 / bloom / split-over-pbf / pbf-roundtrip
+# — which all consume the same extracted elements; re-parsing the same
+# fixture per query was pure gate wall-time). Keyed by source path; the
+# plan under test still executes end-to-end on the cached blocks (the
+# PBF source's kind-narrow block structure survives materialize, so the
+# split-plan regression coverage is unchanged).
+_ELEMENTS_MEMO: dict = {}
+
+
+def _cached_page_elements(pages_path: str):
+    ds = _ELEMENTS_MEMO.get(("pages", pages_path))
+    if ds is None:
+        from osmptparser_ray.stages.elements import extract_elements, read_pages
+
+        ds = extract_elements(read_pages(pages_path)).materialize()
+        _ELEMENTS_MEMO[("pages", pages_path)] = ds
+    return ds
+
+
+def _cached_pbf_elements(pbf_path: str):
+    ds = _ELEMENTS_MEMO.get(("pbf", pbf_path))
+    if ds is None:
+        from osmptparser_ray.sources.pbf import read_pbf_elements
+
+        ds = read_pbf_elements(pbf_path).materialize()
+        _ELEMENTS_MEMO[("pbf", pbf_path)] = ds
+    return ds
+
+
 def _fixture_pages(replicas: int = 1) -> str:
     path = _PAGES_CACHE.format(replicas=replicas)
     if not os.path.exists(path):
@@ -147,9 +178,12 @@ def entry() -> Any:
 
 
 def _q_ptv2_fixture(sf_dir: str):
-    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+    from osmptparser_ray.kernel.filters import PTV2
+    from osmptparser_ray.stages.assemble import get_public_transports
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    ds = public_transports_from_pages(_fixture_pages(1), gap=1500.0)
+    tables = build_parser_tables(_cached_page_elements(_fixture_pages(1)), PTV2)
+    ds = get_public_transports(tables, 1500.0)
 
     def project(batch: pa.Table) -> pa.Table:
         from osmptparser_ray.kernel.filters import get_tag_values
@@ -181,9 +215,14 @@ def _q_ptv2_from_pbf(sf_dir: str):
     reference's literal ``.osm.pbf`` binary (sources.pbf blob-parallel
     source) instead of the page corpus — one oracle, two sources: proves
     the PBF front half feeds the shared pipeline identically."""
-    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pbf
+    from osmptparser_ray.kernel.filters import PTV2
+    from osmptparser_ray.stages.assemble import get_public_transports
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    ds = public_transports_from_pbf("/root/reference/tests/test.pbf", gap=1500.0)
+    tables = build_parser_tables(
+        _cached_pbf_elements("/root/reference/tests/test.pbf"), PTV2
+    )
+    ds = get_public_transports(tables, 1500.0)
 
     def project(batch: pa.Table) -> pa.Table:
         from osmptparser_ray.kernel.filters import get_tag_values
@@ -242,12 +281,14 @@ def _q_ptv2_bloom(sf_dir: str):
     ingest (round-3: Bloom prefilter + exact false-positive subtraction
     instead of exact sorted-array broadcasts) — one oracle, third physical
     plan; proves the at-scale id-set fallback end-to-end."""
-    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+    from osmptparser_ray.kernel.filters import PTV2
+    from osmptparser_ray.stages.assemble import get_public_transports
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    ds = public_transports_from_pages(
-        _fixture_pages(1), gap=1500.0, id_set_mode="bloom"
+    tables = build_parser_tables(
+        _cached_page_elements(_fixture_pages(1)), PTV2, id_set_mode="bloom"
     )
-    return _pt_observable(ds)
+    return _pt_observable(get_public_transports(tables, 1500.0))
 
 
 def _q_pbf_roundtrip(sf_dir: str):
@@ -259,13 +300,12 @@ def _q_pbf_roundtrip(sf_dir: str):
 
     from osmptparser_ray.kernel.filters import PTV2
     from osmptparser_ray.pipelines.ptv2 import parser_tables_from_pbf
-    from osmptparser_ray.sources.pbf import read_pbf_elements
     from osmptparser_ray.sources.pbf_write import write_pbf
     from osmptparser_ray.stages.assemble import get_public_transports
 
     out = _pid_scratch("osmray_q_roundtrip_{pid}.osm.pbf")
     write_pbf(
-        read_pbf_elements("/root/reference/tests/test.pbf"), out, batch_size=300
+        _cached_pbf_elements("/root/reference/tests/test.pbf"), out, batch_size=300
     )
     tables = parser_tables_from_pbf(out, PTV2)
     return _pt_observable(get_public_transports(tables, 1500.0))
@@ -2446,7 +2486,7 @@ def _q_triangle_count(sf_dir: str):
     ~√(2m) BEFORE pair generation, the skew-taming step that makes the
     operator viable on power-law web graphs. Broadcast plan here (997
     nodes); the no-driver-state shuffle twin is parity-tested in pytest
-    (tests/test_graph_ops.py)."""
+    (tests/test_stats_graph_ops.py)."""
     import ray.data as rd
 
     from osmptparser_ray.graph import triangle_count

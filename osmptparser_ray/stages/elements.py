@@ -741,10 +741,13 @@ def _bloom_false_positive_ids(
     the payload filter then subtracts it exactly."""
     from ..util import JOIN_AGG_ARGS, join_partitions
 
-    npart = join_partitions()
-    # both join sides descend from groupby aggregators — heal both
+    # both join sides descend from groupby aggregators — heal both;
+    # partition count sized to the bigger side (round-5: a fixture-sized
+    # join needs 2 aggregator actors, not 8 — spin-up dominated the gate)
     candidate_ids = candidate_ids.materialize()
-    candidate_ids = _heal_blocks(candidate_ids, candidate_ids.count(), npart)
+    n_cand = candidate_ids.count()
+    npart = join_partitions(rows=max(n_cand, n_true))
+    candidate_ids = _heal_blocks(candidate_ids, n_cand, npart)
     marker = true_ids.map_batches(
         lambda t: t.append_column(
             "__m", pa.array(np.ones(t.num_rows, np.int8), pa.int8())

@@ -469,9 +469,13 @@ def _q_areas_fixture(sf_dir: str):
     """Standalone-way areas over the fixture ('highway' filter), per-row
     ring size + status — regression golden frozen from the verified engine
     (kernel verified against the reference fixture; see tests)."""
-    from osmptparser_ray.pipelines.ptv2 import areas_from_pages
+    from osmptparser_ray.stages.assemble import get_areas
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    ds = areas_from_pages(_fixture_pages(1), gap=150.0, filters="highway")
+    tables = build_parser_tables(
+        _cached_page_elements(_fixture_pages(1)), "highway"
+    )
+    ds = get_areas(tables, 150.0)
 
     def project(batch: pa.Table) -> pa.Table:
         n_rings = pc.list_value_length(batch["geometry"])
@@ -2224,11 +2228,15 @@ def _q_raster_vector(sf_dir: str):
     """Tile cover of the fixture's OK route vs a tile pyramid level."""
     import ray.data as rd
 
-    from osmptparser_ray.pipelines.ptv2 import public_transports_from_pages
+    from osmptparser_ray.kernel.filters import PTV2
     from osmptparser_ray.spatial.cell import cover_bbox
     from osmptparser_ray.spatial.join import raster_vector_join
+    from osmptparser_ray.stages.assemble import get_public_transports
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    pt = public_transports_from_pages(_fixture_pages(1), gap=1500.0)
+    pt = get_public_transports(
+        build_parser_tables(_cached_page_elements(_fixture_pages(1)), PTV2), 1500.0
+    )
     level = 13
     tiles = rd.from_arrow(
         pa.table(
@@ -2421,11 +2429,11 @@ def _q_sessionize_incremental(sf_dir: str):
 def _q_parser_summary(sf_dir: str):
     """Per-relation way/stop/node counts (reference Debug impl,
     mod.rs:745-770) over the fixture — golden VALUES oracle."""
-    from osmptparser_ray.pipelines.parser_api import parser_summary
-    from osmptparser_ray.pipelines.ptv2 import parser_tables_from_pages
     from osmptparser_ray.kernel.filters import PTV2
+    from osmptparser_ray.pipelines.parser_api import parser_summary
+    from osmptparser_ray.stages.elements import build_parser_tables
 
-    tables = parser_tables_from_pages(_fixture_pages(1), PTV2)
+    tables = build_parser_tables(_cached_page_elements(_fixture_pages(1)), PTV2)
     return parser_summary(tables)
 
 
@@ -2541,58 +2549,17 @@ def _q_group_concat(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered for driver-budget resilience (round-5): the four ptv2
+    # correctness anchors first, then every query with no official
+    # driver row yet (the r4 record truncated at 50/88), then the
+    # r4-green remainder — if the driver truncates again, the rows it
+    # does record maximize new verification coverage.
     return {
         "ptv2_fixture": _q_ptv2_fixture,
         "ptv2_from_pbf": _q_ptv2_from_pbf,
         "ptv2_bloom_ingest": _q_ptv2_bloom,
         "pbf_roundtrip": _q_pbf_roundtrip,
-        "asof_join": _q_asof_join,
-        "window_hopping": _q_window_hopping,
-        "interval_join": _q_interval_join,
-        "interval_join_shuffle": _q_interval_join_shuffle,
-        "exact_quantiles": _q_exact_quantiles,
-        "quantile_sketch": _q_quantile_sketch,
-        "quantiles_per_group": _q_quantiles_per_group,
-        "approx_quantiles": _q_approx_quantiles,
-        "areas_fixture": _q_areas_fixture,
-        "groupby_agg": _q_groupby_agg,
-        "semi_join_broadcast": _q_semi_join,
-        "hash_join_revenue": _q_hash_join,
-        "topk_orders": _q_topk,
-        "filter_dsl_events": _q_filter_dsl,
-        "window_tumbling": _q_window_tumbling,
-        "union_distinct": _q_union_distinct,
-        "intersect_distinct": _q_intersect_distinct,
-        "salted_join": _q_salted_join,
-        "zscore_outliers": _q_zscore_outliers,
-        "histogram": _q_histogram,
-        "histogram_by_lang": _q_histogram_by_lang,
-        "pagerank_cycles": _q_pagerank_cycles,
-        "rolling_sum": _q_rolling_sum,
-        "weighted_sample": _q_weighted_sample,
-        "except_distinct": _q_except_distinct,
-        "token_count": _q_token_count,
-        "bpe_token_count": _q_bpe_tokens,
-        "quality_scores": _q_quality,
-        "lang_id": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "vocab_top": _q_vocab_top,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bigram_top": _q_bigram_top,
-        "normalize_text": _q_normalize_text,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "unique_violations": _q_unique_violations,
-        "assign_split": _q_assign_split,
-        "pack_sequences": _q_pack_sequences,
-        "running_agg": _q_running_agg,
         "lead_lag_rank": _q_lead_lag_rank,
-        "anti_join": _q_anti_join,
-        "anti_join_shuffle": _q_anti_join_shuffle,
-        "hll_distinct": _q_hll_distinct,
-        "hll_distinct_per_group": _q_hll_group,
-        "percentile_filter": _q_percentile_filter,
-        "winsorize": _q_winsorize,
-        "rollup_agg": _q_rollup,
         "cube_agg": _q_cube,
         "heavy_hitters": _q_heavy_hitters,
         "heavy_hitters_incremental": _q_heavy_hitters_incremental,
@@ -2641,6 +2608,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "group_concat": _q_group_concat,
         "admin_areas": _q_admin_areas,
+        "asof_join": _q_asof_join,
+        "window_hopping": _q_window_hopping,
+        "interval_join": _q_interval_join,
+        "interval_join_shuffle": _q_interval_join_shuffle,
+        "exact_quantiles": _q_exact_quantiles,
+        "quantile_sketch": _q_quantile_sketch,
+        "quantiles_per_group": _q_quantiles_per_group,
+        "approx_quantiles": _q_approx_quantiles,
+        "areas_fixture": _q_areas_fixture,
+        "groupby_agg": _q_groupby_agg,
+        "semi_join_broadcast": _q_semi_join,
+        "hash_join_revenue": _q_hash_join,
+        "topk_orders": _q_topk,
+        "filter_dsl_events": _q_filter_dsl,
+        "window_tumbling": _q_window_tumbling,
+        "union_distinct": _q_union_distinct,
+        "intersect_distinct": _q_intersect_distinct,
+        "salted_join": _q_salted_join,
+        "zscore_outliers": _q_zscore_outliers,
+        "histogram": _q_histogram,
+        "histogram_by_lang": _q_histogram_by_lang,
+        "pagerank_cycles": _q_pagerank_cycles,
+        "rolling_sum": _q_rolling_sum,
+        "weighted_sample": _q_weighted_sample,
+        "except_distinct": _q_except_distinct,
+        "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_tokens,
+        "quality_scores": _q_quality,
+        "lang_id": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "vocab_top": _q_vocab_top,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_top": _q_bigram_top,
+        "normalize_text": _q_normalize_text,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "unique_violations": _q_unique_violations,
+        "assign_split": _q_assign_split,
+        "pack_sequences": _q_pack_sequences,
+        "running_agg": _q_running_agg,
+        "anti_join": _q_anti_join,
+        "anti_join_shuffle": _q_anti_join_shuffle,
+        "hll_distinct": _q_hll_distinct,
+        "hll_distinct_per_group": _q_hll_group,
+        "percentile_filter": _q_percentile_filter,
+        "winsorize": _q_winsorize,
+        "rollup_agg": _q_rollup,
     }
 
 

@@ -1695,11 +1695,16 @@ def rollup_agg(
         )
         levels.append(lvl)
     # grand total: two scalars off the (already tiny) finest table
-    # EMPTY input (ADVICE r4): Dataset.sum returns None over zero rows —
+    # EMPTY input (ADVICE r4): aggregates return None over zero rows —
     # emit the SQL-style single grand-total row (ALL…, n=0) with sum_v
-    # coalesced to 0 (the schema is non-null int64; SQL would say NULL)
-    tot_n = finest.sum("n") or 0
-    tot_v = finest.sum("sum_v") or 0
+    # coalesced to 0 (the schema is non-null int64; SQL would say NULL).
+    # Both totals in ONE execution (round-5: two .sum() calls paid two
+    # executor startups on the already-materialized finest).
+    _tots = finest.aggregate(
+        Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v")
+    ) or {}
+    tot_n = _tots.get("n") or 0
+    tot_v = _tots.get("sum_v") or 0
     levels.append(
         rd.from_arrow(
             pa.table(
@@ -2623,11 +2628,16 @@ def cube_agg(
                 .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
                 .map_batches(fill(lc), batch_format="pyarrow")
             )
-    # EMPTY input (ADVICE r4): Dataset.sum returns None over zero rows —
+    # EMPTY input (ADVICE r4): aggregates return None over zero rows —
     # emit the SQL-style single grand-total row (ALL…, n=0) with sum_v
-    # coalesced to 0 (the schema is non-null int64; SQL would say NULL)
-    tot_n = finest.sum("n") or 0
-    tot_v = finest.sum("sum_v") or 0
+    # coalesced to 0 (the schema is non-null int64; SQL would say NULL).
+    # Both totals in ONE execution (round-5: two .sum() calls paid two
+    # executor startups on the already-materialized finest).
+    _tots = finest.aggregate(
+        Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v")
+    ) or {}
+    tot_n = _tots.get("n") or 0
+    tot_v = _tots.get("sum_v") or 0
     levels.append(
         rd.from_arrow(
             pa.table(

@@ -1439,12 +1439,15 @@ def anti_join(
     ).materialize()
     # all-empty side crashes the hash join (NOTES_ROUND3 rule) — and with
     # zero bloom-positives there is nothing left to check exactly anyway
-    if positives.count() == 0:
+    n_pos = positives.count()
+    if n_pos == 0:
         return negatives
     survivors = positives.join(
         distinct,
         join_type="left_anti",
-        num_partitions=join_partitions(),
+        # both sides' sizes are known here — size the aggregator-actor
+        # count to the data (round-5 rows hint)
+        num_partitions=join_partitions(rows=max(n_pos, n_keys)),
         on=(on,),
         right_on=("id",),
         aggregator_ray_remote_args=JOIN_AGG_ARGS,

@@ -2548,6 +2548,40 @@ def _q_group_concat(sf_dir: str):
     return group_concat_sorted(ev, "user_id", ["event_id"], "event_type", sep=",")
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over planted clusters (round-5): 8
+    well-separated centers (spacing 100, jitter ≤ 3) synthesized from
+    customer keys; deterministic init (vectors of the 8 smallest ids =
+    one per planted cluster, in cluster order) makes the converged
+    assignment PROVABLY the planted cluster — the iterative-broadcast
+    operator gate (centers broadcast per round, per-batch moment
+    combiners; the shuffle carries k rows per block, never the corpus)."""
+    from osmptparser_ray.embed.kmeans import kmeans
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = keys % 8
+        dims = np.arange(4, dtype=np.int64)
+        pts = (
+            cl[:, None] * 100.0
+            + dims[None, :].astype(np.float64)
+            + ((keys[:, None] * (dims[None, :] + 3)) % 7 - 3).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(keys, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pts.ravel(), pa.float64()), 4
+                ),
+            }
+        )
+
+    vecs = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return kmeans(vecs, 8, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for driver-budget resilience (round-5): the four ptv2
     # correctness anchors first, then every query with no official
@@ -2607,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "skyline": _q_skyline,
         "group_concat": _q_group_concat,
+        "kmeans_planted": _q_kmeans,
         "admin_areas": _q_admin_areas,
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
@@ -3376,6 +3411,12 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT x, y, MIN(y) OVER (ORDER BY x, y "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d) "
         "SELECT x, y FROM s WHERE pm IS NULL OR pm > y"
+    )
+    # round-5: k-means over planted clusters — CLOSED-FORM oracle
+    # (spacing 100 vs jitter ≤ 3 ⇒ converged assignment == planted
+    # cluster, provable from the construction)
+    out["kmeans_planted"] = (
+        "SELECT c_custkey AS vec_id, c_custkey % 8 AS cluster FROM customer"
     )
     # round-5: ordered per-group concatenation
     out["group_concat"] = (

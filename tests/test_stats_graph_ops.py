@@ -302,3 +302,89 @@ class TestGroupConcatSorted:
             )
         )
         assert len(group_concat_sorted(e, "k", ["o"], "val").to_pandas()) == 0
+
+
+class TestKMeans:
+    @staticmethod
+    def _ref_lloyd(ids, X, k, n_iter):
+        order = np.argsort(ids)[:k]
+        C = X[order].copy()
+        for _ in range(n_iter):
+            d = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+            a = np.argmax(d, axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+        d = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+        return np.argmax(d, axis=1)
+
+    def test_planted_clusters_exact(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.embed.kmeans import kmeans
+
+        ids = np.arange(4000, dtype=np.int64)
+        cl = ids % 8
+        centers = np.arange(8)[:, None] * 100.0 + np.arange(4)[None, :]
+        X = centers[cl] + ((ids[:, None] * (np.arange(4) + 3)[None, :]) % 7 - 3)
+        t = pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.ravel().astype(np.float64), pa.float64()), 4
+                ),
+            }
+        )
+        out = (
+            kmeans(rd.from_arrow(t).repartition(7), 8, n_iter=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (out["cluster"].values == cl).all()
+
+    def test_matches_single_node_lloyd(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.embed.kmeans import kmeans
+
+        rng = np.random.RandomState(5)
+        n, dim, k = 3000, 6, 7
+        X = rng.randn(n, dim) * 2
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+        out = (
+            kmeans(rd.from_arrow(t).repartition(9), k, n_iter=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        ref = self._ref_lloyd(ids, X, k, 4)
+        # same init + same tie rule; assignment parity on well-conditioned
+        # random data (block-order float sums stay within tie margins)
+        assert (out["cluster"].values == ref).all()
+
+    def test_k_exceeds_rows_is_loud(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from osmptparser_ray.embed.kmeans import kmeans
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array([0.0, 1.0, 2.0, 3.0], pa.float64()), 2
+                ),
+            }
+        )
+        with _pytest.raises(ValueError, match="exceeds"):
+            kmeans(rd.from_arrow(t), 5, n_iter=1).to_pandas()

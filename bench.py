@@ -241,6 +241,11 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "lead_lag_rank",
         "heavy_hitters_incremental",
         "duplicate_groups",
+        "corr_by_group",
+        "triangle_count",
+        "skyline",
+        "group_concat",
+        "kmeans_planted",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

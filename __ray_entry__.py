@@ -734,6 +734,39 @@ def _q_fingerprint(sf_dir: str):
     return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_decontaminate(sf_dir: str):
+    """Train/test decontamination (round-5, composition): drop every
+    training doc whose NORMALIZED fingerprint appears in the benchmark
+    set (here: doc_id % 50 == 0 plays the benchmark) — the fingerprint
+    stage catches whitespace/case-mangled copies that raw-text equality
+    misses. add_fingerprint + broadcast anti_join, no new operator code;
+    the NOT-IN staple at corpus scale."""
+    from osmptparser_ray.stages.relational import anti_join
+    from osmptparser_ray.text.analysis import add_fingerprint
+
+    docs = add_fingerprint(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def _hash_key(t: pa.Table) -> pa.Table:
+        # anti_join keys are int64: fold the hex md5 to int64 via the
+        # first 15 hex digits (60 bits, identical expression in SQL)
+        keys = np.array(
+            [int(s[:15], 16) for s in t["fingerprint"].to_pylist()], np.int64
+        )
+        return t.append_column("fkey", pa.array(keys, pa.int64()))
+
+    keyed = docs.map_batches(_hash_key, batch_format="pyarrow")
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = keyed.map_batches(_bench_rows, batch_format="pyarrow")
+    # benchmark sets are ~10⁵ docs in practice — genuinely broadcastable,
+    # so the broadcast anti-join is the REALISTIC plan here (the shuffle
+    # twin is separately gated by anti_join_shuffle)
+    out = anti_join(keyed, bench, "fkey", plan="broadcast")
+    return out.select_columns(["doc_id"])
+
+
 def _q_vocab_top(sf_dir: str):
     """Corpus vocabulary (round-4): top-50 tokens by frequency with
     per-batch partial counts (shuffle capped at distinct tokens per
@@ -2642,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "group_concat": _q_group_concat,
         "kmeans_planted": _q_kmeans,
+        "decontaminate": _q_decontaminate,
         "admin_areas": _q_admin_areas,
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
@@ -3417,6 +3451,16 @@ def oracle_sql() -> dict[str, str]:
     # cluster, provable from the construction)
     out["kmeans_planted"] = (
         "SELECT c_custkey AS vec_id, c_custkey % 8 AS cluster FROM customer"
+    )
+    # round-5: decontamination — fingerprint NOT-IN benchmark set; the
+    # 60-bit fold of the md5 hex prefix is the identical expression in
+    # both engines
+    out["decontaminate"] = (
+        "WITH fp AS (SELECT doc_id, CAST(CAST('0x' || "
+        "substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15) "
+        "AS UBIGINT) AS BIGINT) AS fkey FROM documents) "
+        "SELECT doc_id FROM fp WHERE fkey NOT IN "
+        "(SELECT fkey FROM fp WHERE doc_id % 50 = 0)"
     )
     # round-5: ordered per-group concatenation
     out["group_concat"] = (

@@ -2976,7 +2976,13 @@ def group_concat_sorted(
         extra_keys.append(carry_key)
         extra_vals.append(carry_str)
 
-    key_type = _as_arrow_block(ray.get(block_refs[0])).schema.field(key_col).type
+    # key type from dataset metadata — avoid fetching a data block for it
+    _schema = sorted_ds.schema(fetch_if_missing=True)
+    _base = getattr(_schema, "base_schema", None)
+    if isinstance(_base, pa.Schema):
+        key_type = _base.field(key_col).type
+    else:  # non-Arrow schema wrapper: fall back to the first block
+        key_type = _as_arrow_block(ray.get(block_refs[0])).schema.field(key_col).type
 
     @ray.remote
     def emit(block, prefix: str) -> pa.Table:

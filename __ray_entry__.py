@@ -2581,6 +2581,51 @@ def _q_group_concat(sf_dir: str):
     return group_concat_sorted(ev, "user_id", ["event_id"], "event_type", sep=",")
 
 
+def _q_span_dedup(sf_dir: str):
+    """C4-style global span dedup with reassembly (round-5): 3-word
+    spans, keep each span's globally first occurrence (min (doc_id,
+    ordinal), packed into ONE int64 so the dedup is a plain groupby-Min
+    — no join back), reassemble survivors per doc via the sort-scan
+    group_concat chassis. One hash shuffle (span) + one sort (doc,
+    ord); documents whose every span was seen before drop out."""
+    from osmptparser_ray.text.dedup import span_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(docs, span_words=3)
+
+
+def _q_repetition_ratio(sf_dir: str):
+    """Gopher-style intra-doc repetition filter (round-5): duplicate
+    word-bigram fraction per document, fully per-batch (no shuffle —
+    a document's n-grams never leave its block); the >5% filter is the
+    INTEGER predicate 100*unique < 95*total, exact on both engines,
+    and rep_ratio itself is one IEEE division — bit-identical to SQL."""
+    from osmptparser_ray.text.analysis import add_repetition_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    r = add_repetition_ratio(docs, "text", n=2)
+
+    def flag(t: pa.Table) -> pa.Table:
+        u = t["n_unique_grams"].to_numpy(zero_copy_only=False)
+        n = t["n_grams"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(100 * u < 95 * n)).select(
+            ["doc_id", "n_grams", "n_unique_grams", "rep_ratio"]
+        )
+
+    return r.map_batches(flag, batch_format="pyarrow")
+
+
+def _q_mode_per_group(sf_dir: str):
+    """Most frequent event type per user (round-5): per-batch Arrow
+    group_by combiner (shuffle carries distinct (user, type) pairs, not
+    events) → ONE groupby-Sum → sort-scan argmax; ties to the smallest
+    type, exactly the oracle's ORDER BY cnt DESC, type ASC."""
+    from osmptparser_ray.stages.relational import mode_per_group
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return mode_per_group(ev, "user_id", "event_type")
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over planted clusters (round-5): 8
     well-separated centers (spacing 100, jitter ≤ 3) synthesized from
@@ -2676,6 +2721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_concat": _q_group_concat,
         "kmeans_planted": _q_kmeans,
         "decontaminate": _q_decontaminate,
+        "span_dedup": _q_span_dedup,
+        "repetition_ratio": _q_repetition_ratio,
+        "mode_per_group": _q_mode_per_group,
         "admin_areas": _q_admin_areas,
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
@@ -3466,5 +3514,40 @@ def oracle_sql() -> dict[str, str]:
     out["group_concat"] = (
         "SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS concat "
         "FROM events GROUP BY user_id"
+    )
+    # round-5: C4-style global span dedup — first occurrence of every
+    # distinct 3-word span kept (min (doc_id, ord) == min packed key),
+    # survivors reassembled in order
+    out["span_dedup"] = (
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "spans AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) "
+        "AS ord, w FROM words), "
+        "s2 AS (SELECT doc_id, ord, array_to_string(w[ord*3+1 : ord*3+3], ' ') "
+        "AS span FROM spans), "
+        "kept AS (SELECT doc_id, ord, span, ROW_NUMBER() OVER "
+        "(PARTITION BY span ORDER BY doc_id, ord) AS rn FROM s2) "
+        "SELECT doc_id, string_agg(span, ' ' ORDER BY ord) AS text_dedup "
+        "FROM kept WHERE rn = 1 GROUP BY doc_id"
+    )
+    # round-5: Gopher-style duplicate-bigram fraction; the >5% filter is
+    # the integer predicate 100*unique < 95*total (exact), the ratio one
+    # IEEE division (bit-identical)
+    out["repetition_ratio"] = (
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w FROM words), "
+        "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM pos), "
+        "agg AS (SELECT doc_id, count(*) AS n_grams, "
+        "count(DISTINCT gram) AS n_unique_grams FROM bg GROUP BY doc_id) "
+        "SELECT doc_id, n_grams, n_unique_grams, "
+        "1.0 - n_unique_grams / CAST(n_grams AS DOUBLE) AS rep_ratio "
+        "FROM agg WHERE 100*n_unique_grams < 95*n_grams"
+    )
+    # round-5: most frequent value per key, ties to the smallest value
+    out["mode_per_group"] = (
+        "SELECT user_id, event_type, cnt FROM ("
+        "SELECT user_id, event_type, count(*) AS cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY count(*) DESC, event_type ASC) AS rn "
+        "FROM events GROUP BY user_id, event_type) t WHERE rn = 1"
     )
     return out

@@ -3013,3 +3013,46 @@ def group_concat_sorted(
     )
     out_refs.append(ray.put(extra))
     return rd.from_arrow_refs(out_refs)
+
+
+def mode_per_group(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    *,
+    count_col: str = "cnt",
+) -> rd.Dataset:
+    """Most frequent value per key (SQL ``mode() WITHIN GROUP`` /
+    ``ROW_NUMBER() OVER (ORDER BY count(*) DESC, val)``); ties broken by
+    the SMALLEST value — deterministic, oracle-matchable.
+
+    Physical plan: per-batch ``(key, val)`` pre-count (one Arrow
+    ``group_by`` kernel per batch — the map-side combiner that shrinks
+    the exchange from #rows to #distinct-pairs-per-block), ONE hash
+    ``groupby(key, val).aggregate(Sum)``, then the sort-scan
+    ``topk_per_group(k=1)`` picks each key's argmax with zero per-group
+    UDF dispatch. Scale contract: the shuffle carries distinct (key,
+    val) pairs only; skewed keys cost one combiner row per block, not
+    one row per occurrence.
+
+    Output: ``(key_col, val_col, count_col)`` — one row per key.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_col, val_col])
+            .group_by([key_col, val_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, val_col, "n_part"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("n_part", alias_name=count_col))
+    )
+    top = topk_per_group(
+        counts, key_col, count_col, 1, tiebreak_col=val_col, descending=True
+    )
+    return top.drop_columns(["rank"])

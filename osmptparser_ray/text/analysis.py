@@ -760,3 +760,83 @@ def normalize_text(
         return batch.append_column(out, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_repetition_ratio(
+    ds: rd.Dataset, col: str = "text", n: int = 2
+) -> rd.Dataset:
+    """Intra-document repetition signal: duplicate word-n-gram fraction.
+
+    The Gopher-style repetition quality rule ("drop documents whose
+    duplicate 2-gram fraction is high") as an embarrassingly parallel
+    per-batch kernel — NO shuffle: each document's n-grams never leave
+    the batch that holds the document.
+
+    Words = literal single-space split (DuckDB ``string_split`` parity).
+    Per batch: one ``split_pattern`` kernel, one ``dictionary_encode``
+    over the flattened words (word → int code), n-gram codes by base-V
+    positional packing (V = batch dictionary size; loud guard keeps
+    ``V**n`` inside int64), then a lexsort + run-change mask counts
+    distinct n-grams per document — zero per-row Python.
+
+    Columns added: ``n_grams`` (= max(words-(n-1), 0)),
+    ``n_unique_grams`` (int64), and ``rep_ratio`` = ``1.0 -
+    n_unique/n_grams`` (float64; exactly ``1.0 - n_unique /
+    CAST(n_grams AS DOUBLE)`` — IEEE-identical to the SQL oracle;
+    0.0 when a document has no n-grams).
+    """
+    import numpy as np
+
+    k = int(n)
+    if k < 1:
+        raise ValueError("add_repetition_ratio: n must be >= 1")
+
+    def f(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks()
+        words = pc.split_pattern(arr, pattern=" ")
+        counts = np.asarray(
+            pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        nrow = len(counts)
+        flat = words.flatten()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        V = max(len(enc.dictionary), 1)
+        if V ** k >= 1 << 62:
+            raise ValueError(
+                f"add_repetition_ratio: batch vocabulary {V}**n={k} overflows "
+                "the int64 n-gram packing; lower the batch size or n"
+            )
+        row = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+        n_grams = np.maximum(counts - (k - 1), 0)
+        total = len(codes) - (k - 1)
+        if total > 0:
+            gram = codes[: total].copy()
+            for j in range(1, k):
+                gram *= V
+                gram += codes[j : total + j]
+            grow = row[: total]
+            same_doc = row[k - 1 :] == grow  # all k positions in one doc
+            gram, grow = gram[same_doc], grow[same_doc]
+            order = np.lexsort((gram, grow))
+            g_s, r_s = gram[order], grow[order]
+            new = np.ones(len(g_s), bool)
+            new[1:] = (r_s[1:] != r_s[:-1]) | (g_s[1:] != g_s[:-1])
+            n_unique = np.bincount(r_s[new], minlength=nrow).astype(np.int64)
+        else:
+            n_unique = np.zeros(nrow, np.int64)
+        ratio = 1.0 - n_unique / np.maximum(n_grams, 1)
+        for name, col_arr in (
+            ("n_grams", pa.array(n_grams, pa.int64())),
+            ("n_unique_grams", pa.array(n_unique, pa.int64())),
+            ("rep_ratio", pa.array(ratio, pa.float64())),
+        ):
+            batch = batch.append_column(name, col_arr)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")

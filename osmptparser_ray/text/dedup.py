@@ -929,3 +929,124 @@ def _duplicate_groups_broadcast(pairs: rd.Dataset) -> rd.Dataset:
         )
     )
 
+
+
+def span_dedup(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 3,
+    out: str = "text_dedup",
+    *,
+    ord_bits: int = 20,
+    sep: str = " ",
+) -> rd.Dataset:
+    """C4-style global span deduplication with document reassembly.
+
+    Splits every document into fixed-size word spans (``span_words``
+    single-space-separated words; the final span may be shorter), keeps
+    only the globally FIRST occurrence of each distinct span — "first"
+    = smallest ``(id, span ordinal)`` — and reassembles each document
+    from its surviving spans in original order. The C4 pipeline's
+    "discard any three-sentence span seen before" rule, re-expressed
+    over word spans so it is exactly SQL-checkable.
+
+    Physical plan (the 100-TB shape):
+
+    1. ``map_batches`` explode — fully vectorized: one ``split_pattern``
+       kernel, numpy offset arithmetic to cut each document's word list
+       into span sublists (a single ``ListArray`` re-offset, no copy of
+       the word values), one ``binary_join`` kernel to materialize span
+       strings. Global order is packed into ONE int64
+       (``id << ord_bits | ordinal``) so the dedup needs a plain Min.
+    2. ONE hash ``groupby(span).aggregate(Min(packed))`` — the only
+       all-to-all exchange, the same shuffle shape as ``exact_dedup``;
+       the winner row carries everything needed (span + packed key), so
+       there is NO join back to the corpus.
+    3. decode + ``group_concat_sorted`` reassembly (one distributed
+       sort by ``(id, ordinal)``, per-block ``binary_join`` run concat,
+       O(#blocks) driver boundary chain).
+
+    Documents whose every span was seen earlier drop out entirely
+    (SQL ``GROUP BY`` over zero kept rows emits nothing — matched).
+    Loud contract: ordinals must fit ``ord_bits`` (docs longer than
+    ``2**ord_bits * span_words`` words need a bigger ``ord_bits``) and
+    ids must be non-negative and fit the remaining 63-ord_bits bits.
+
+    Output: ``(id_col, out)`` — one row per surviving document.
+    """
+    import pyarrow.compute as pc
+
+    from osmptparser_ray.stages.relational import group_concat_sorted
+    from ray.data.aggregate import Min
+
+    W = int(span_words)
+    if W < 1:
+        raise ValueError("span_dedup: span_words must be >= 1")
+    bits = int(ord_bits)
+    max_ord = 1 << bits
+    max_id = 1 << (63 - bits)
+
+    def explode_spans(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col].combine_chunks()
+        ids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        words = pc.split_pattern(arr, pattern=sep)
+        counts = np.asarray(
+            pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        n_spans = -(-counts // W)  # ceil; 0 for null text
+        total = int(n_spans.sum())
+        empty = pa.table(
+            {"span": pa.array([], pa.string()), "packed": pa.array([], pa.int64())}
+        )
+        if total == 0:
+            return empty
+        if int(n_spans.max()) > max_ord:
+            raise ValueError(
+                f"span_dedup: a document has {int(n_spans.max())} spans > "
+                f"2**ord_bits={max_ord}; raise ord_bits"
+            )
+        live = ids[n_spans > 0]
+        if (live < 0).any() or int(live.max()) >= max_id:
+            raise ValueError(
+                f"span_dedup: {id_col} must be in [0, 2**{63 - bits}) to pack "
+                "with ord_bits ordinal bits; raise/lower ord_bits"
+            )
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_spans)
+        span_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_spans)[:-1]]), n_spans
+        )
+        word_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        span_start = word_start[doc_idx] + span_pos * W
+        flat = words.flatten()  # respects the array's own offsets (slice-safe)
+        offsets = np.concatenate([span_start, [int(counts.sum())]])
+        span_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat
+        )
+        spans = pc.binary_join(span_lists, sep)
+        packed = (ids[doc_idx] << bits) | span_pos
+        return pa.table({"span": spans, "packed": pa.array(packed, pa.int64())})
+
+    kept = (
+        ds.map_batches(explode_spans, batch_format="pyarrow")
+        .groupby("span")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        packed = np.asarray(
+            batch["packed"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(packed >> bits, pa.int64()),
+                "ord": pa.array(packed & (max_ord - 1), pa.int64()),
+                "span": batch["span"],
+            }
+        )
+
+    rows = kept.map_batches(decode, batch_format="pyarrow")
+    return group_concat_sorted(rows, id_col, ["ord"], "span", sep=sep, out=out)

@@ -753,3 +753,182 @@ class TestWinnowingBatchFlat:
         ds = rd.from_arrow(pa.table({"text": pa.array(["abc", None, "xyz"])}))
         rows = add_rolling_fingerprints(ds).take_all()
         assert list(rows[1]["fingerprints"]) == _winnow_doc("", 5, 8)
+
+
+class TestSpanDedup:
+    """span_dedup: C4-style global span dedup + reassembly (round 5)."""
+
+    def _brute(self, rows, W):
+        # reference: first global occurrence of each span by (id, ord)
+        seen = {}
+        for doc_id, text in rows:
+            words = text.split(" ")
+            for ord_ in range((len(words) + W - 1) // W):
+                span = " ".join(words[ord_ * W : ord_ * W + W])
+                seen.setdefault(span, (doc_id, ord_))
+        out = {}
+        for doc_id, text in rows:
+            words = text.split(" ")
+            kept = []
+            for ord_ in range((len(words) + W - 1) // W):
+                span = " ".join(words[ord_ * W : ord_ * W + W])
+                if seen[span] == (doc_id, ord_):
+                    kept.append(span)
+            if kept:
+                out[doc_id] = " ".join(kept)
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import span_dedup
+
+        rows = [
+            (1, "a b c d e f"),          # spans: "a b c", "d e f"
+            (2, "a b c x y z"),          # first span is a dup -> dropped
+            (3, "d e f"),                 # entire doc is a dup -> vanishes
+            (4, "x y z a b c d e f g"),  # tail "g" short span survives
+            (5, "g"),                     # dup of doc 4's tail -> vanishes
+            (6, ""),                      # empty text: span "" survives once
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        got = (
+            span_dedup(rd.from_arrow(t).repartition(4), span_words=3)
+            .to_pandas()
+            .set_index("doc_id")["text_dedup"]
+            .to_dict()
+        )
+        assert got == self._brute(rows, 3)
+
+    def test_matches_duckdb_at_sf(self, docs_ds, sf_dir):
+        from osmptparser_ray.text.dedup import span_dedup
+
+        mine = (
+            span_dedup(docs_ds.repartition(5), span_words=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.sql(
+                "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
+                f"FROM '{sf_dir}/documents.parquet'), "
+                "spans AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/3.0) "
+                "AS BIGINT))) AS ord, w FROM words), "
+                "s2 AS (SELECT doc_id, ord, array_to_string(w[ord*3+1 : ord*3+3], ' ') "
+                "AS span FROM spans), "
+                "kept AS (SELECT doc_id, ord, span, ROW_NUMBER() OVER "
+                "(PARTITION BY span ORDER BY doc_id, ord) AS rn FROM s2) "
+                "SELECT doc_id, string_agg(span, ' ' ORDER BY ord) AS text_dedup "
+                "FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert mine.equals(oracle)
+
+    def test_ord_bits_guard_is_loud(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.dedup import span_dedup
+
+        t = pa.table(
+            {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["a b c d e"], pa.string())}
+        )
+        with pytest.raises(Exception, match="ord_bits"):
+            span_dedup(rd.from_arrow(t), span_words=1, ord_bits=2).to_pandas()
+
+
+class TestRepetitionRatio:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import add_repetition_ratio
+
+        texts = [
+            "a b a b a b",     # grams: ab ba ab ba ab -> 5 total, 2 unique
+            "a b c d",         # all unique
+            "x",               # no grams
+            "",                # one empty word, no grams
+            "a a a a a a a a", # 7 grams, 1 unique
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            add_repetition_ratio(rd.from_arrow(t).repartition(3), "text", n=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, text in enumerate(texts):
+            w = text.split(" ")
+            grams = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+            assert out.n_grams[i] == len(grams)
+            assert out.n_unique_grams[i] == len(set(grams))
+            expect = 1.0 - len(set(grams)) / max(len(grams), 1)
+            assert out.rep_ratio[i] == expect
+
+    def test_trigram_mode(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.text.analysis import add_repetition_ratio
+
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b c a b c a b c"], pa.string())}
+        )
+        out = add_repetition_ratio(rd.from_arrow(t), "text", n=3).to_pandas()
+        # 7 trigrams, 3 unique (abc, bca, cab)
+        assert out.n_grams[0] == 7 and out.n_unique_grams[0] == 3
+
+
+class TestModePerGroup:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import mode_per_group
+
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ).repartition(6)
+        mine = (
+            mode_per_group(ev, "user_id", "event_type")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.sql(
+                "SELECT user_id, event_type, cnt FROM ("
+                "SELECT user_id, event_type, count(*) AS cnt, "
+                "ROW_NUMBER() OVER (PARTITION BY user_id "
+                "ORDER BY count(*) DESC, event_type ASC) AS rn "
+                f"FROM '{sf_dir}/events.parquet' GROUP BY user_id, event_type) t "
+                "WHERE rn = 1 ORDER BY user_id"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert mine.equals(oracle)
+
+    def test_tie_breaks_to_smallest_value(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import mode_per_group
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1], pa.int64()),
+                "v": pa.array(["b", "b", "a", "a"], pa.string()),
+            }
+        )
+        out = mode_per_group(rd.from_arrow(t).repartition(2), "k", "v").to_pandas()
+        assert list(out.v) == ["a"] and list(out.cnt) == [2]

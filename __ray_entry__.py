@@ -2662,10 +2662,11 @@ def _q_kmeans(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for driver-budget resilience (round-5): the four ptv2
-    # correctness anchors first, then every query with no official
-    # driver row yet (the r4 record truncated at 50/88), then the
-    # r4-green remainder — if the driver truncates again, the rows it
-    # does record maximize new verification coverage.
+    # correctness anchors first, then the 33 queries with no green row
+    # in ANY official CORRECTNESS_r0{1..4}.json (the r4 record truncated
+    # at 50/88), then the previously-recorded remainder — if the driver
+    # truncates again, the rows it does record maximize new
+    # verification coverage.
     return {
         "ptv2_fixture": _q_ptv2_fixture,
         "ptv2_from_pbf": _q_ptv2_from_pbf,
@@ -2691,30 +2692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_centroid": _q_polygon_centroid,
         "word_diversity": _q_word_diversity,
         "scrub_pattern": _q_scrub_pattern,
-        "exact_dedup": _q_exact_dedup,
-        "quality_filter": _q_quality_filter,
-        "duplicate_groups": _q_duplicate_groups,
-        "minhash_near_dup": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_bigbig_join": _q_ann_bigbig_join,
         "convex_hull": _q_convex_hull,
-        "cosine_near_dup": _q_cosine_near_dup,
-        "cell_assign": _q_cell_assign,
-        "pip_rect": _q_pip_rect,
-        "spatial_knn": _q_spatial_knn,
-        "raster_vector": _q_raster_vector,
-        "cell_density": _q_cell_density,
-        "multimodal_image": _q_multimodal_image,
-        "checkpoint_resume": _q_checkpoint_resume,
-        "sessionize": _q_sessionize,
         "sessionize_incremental": _q_sessionize_incremental,
-        "topk_per_group": _q_topk_per_group,
-        "deterministic_sample": _q_det_sample,
-        "stratified_sample": _q_stratified_sample,
-        "broadcast_enrich": _q_broadcast_enrich,
-        "parser_summary": _q_parser_summary,
         "corr_by_group": _q_corr_by_group,
         "triangle_count": _q_triangle_count,
         "skyline": _q_skyline,
@@ -2724,6 +2704,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "repetition_ratio": _q_repetition_ratio,
         "mode_per_group": _q_mode_per_group,
+        "approx_quantiles": _q_approx_quantiles,
+        "exact_dedup": _q_exact_dedup,
+        "quality_filter": _q_quality_filter,
+        "duplicate_groups": _q_duplicate_groups,
+        "minhash_near_dup": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "cosine_near_dup": _q_cosine_near_dup,
+        "cell_assign": _q_cell_assign,
+        "pip_rect": _q_pip_rect,
+        "spatial_knn": _q_spatial_knn,
+        "raster_vector": _q_raster_vector,
+        "cell_density": _q_cell_density,
+        "multimodal_image": _q_multimodal_image,
+        "checkpoint_resume": _q_checkpoint_resume,
+        "sessionize": _q_sessionize,
+        "topk_per_group": _q_topk_per_group,
+        "deterministic_sample": _q_det_sample,
+        "stratified_sample": _q_stratified_sample,
+        "broadcast_enrich": _q_broadcast_enrich,
+        "parser_summary": _q_parser_summary,
         "admin_areas": _q_admin_areas,
         "asof_join": _q_asof_join,
         "window_hopping": _q_window_hopping,
@@ -2732,7 +2734,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": _q_exact_quantiles,
         "quantile_sketch": _q_quantile_sketch,
         "quantiles_per_group": _q_quantiles_per_group,
-        "approx_quantiles": _q_approx_quantiles,
         "areas_fixture": _q_areas_fixture,
         "groupby_agg": _q_groupby_agg,
         "semi_join_broadcast": _q_semi_join,

@@ -2626,6 +2626,49 @@ def _q_mode_per_group(sf_dir: str):
     return mode_per_group(ev, "user_id", "event_type")
 
 
+def _q_full_outer_join(sf_dir: str):
+    """Full outer join of two grouped counts (round-5): per-user event
+    counts ⟗ per-customer order counts — both null directions are
+    exercised (users without orders, customers without events). The
+    engine's full_outer coalesces the key into the left column; null
+    counts are filled to 0 in Arrow (int64 end-to-end, no float round
+    trip), exactly the oracle's COALESCE."""
+    from ray.data.aggregate import Count
+
+    from osmptparser_ray.util import join_partitions
+
+    ev = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = ev.join(
+        orders,
+        join_type="full_outer",
+        num_partitions=join_partitions(rows=200_000),
+        on=("user_id",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "k": pc.cast(t["user_id"], pa.int64()),
+                "n_events": pc.fill_null(pc.cast(t["n_events"], pa.int64()), z),
+                "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), z),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over planted clusters (round-5): 8
     well-separated centers (spacing 100, jitter ≤ 3) synthesized from
@@ -2704,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "repetition_ratio": _q_repetition_ratio,
         "mode_per_group": _q_mode_per_group,
+        "full_outer_join": _q_full_outer_join,
         "approx_quantiles": _q_approx_quantiles,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
@@ -3542,6 +3586,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_grams, n_unique_grams, "
         "1.0 - n_unique_grams / CAST(n_grams AS DOUBLE) AS rep_ratio "
         "FROM agg WHERE 100*n_unique_grams < 95*n_grams"
+    )
+    # round-5: full outer join of two grouped counts, COALESCE both ways
+    out["full_outer_join"] = (
+        "WITH e AS (SELECT user_id, count(*) AS n_events FROM events "
+        "GROUP BY user_id), "
+        "o AS (SELECT o_custkey, count(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey) "
+        "SELECT COALESCE(e.user_id, o.o_custkey) AS k, "
+        "COALESCE(n_events, 0) AS n_events, "
+        "COALESCE(n_orders, 0) AS n_orders "
+        "FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey"
     )
     # round-5: most frequent value per key, ties to the smallest value
     out["mode_per_group"] = (

@@ -2626,6 +2626,65 @@ def _q_mode_per_group(sf_dir: str):
     return mode_per_group(ev, "user_id", "event_type")
 
 
+def _q_json_extract(sf_dir: str):
+    """JSON sidecar field extraction (round-5): pull the integer ``k``
+    out of the events ``props`` JSON string with ONE RE2 kernel
+    (``pc.extract_regex`` — no per-row Python, no JSON parser object),
+    then per-type Sum/Count via the map-side-combined groupby. The
+    metadata-extraction step of a webtext pipeline (license tags, crawl
+    scores, page metadata ride in JSON sidecars at corpus scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+def _q_first_last_value(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE over full partitions (round-5,
+    composition): the first and last event type per user in (ts,
+    event_id) order — two sort-scan ``topk_per_group(k=1)`` passes
+    (ascending + descending ranks over a composite order key packed
+    from the unique event_id), zipped by an in-Arrow join. Zero
+    per-group UDFs."""
+    from osmptparser_ray.stages.relational import topk_per_group
+    from osmptparser_ray.util import join_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    first = topk_per_group(
+        ev, "user_id", "event_id", 1, descending=False
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "first_type": t["event_type"]}
+        ),
+        batch_format="pyarrow",
+    )
+    last = topk_per_group(
+        ev, "user_id", "event_id", 1, descending=True
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "last_type": t["event_type"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return first.join(
+        last,
+        join_type="inner",
+        num_partitions=join_partitions(rows=1_000),
+        on=("user_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+
 def _q_full_outer_join(sf_dir: str):
     """Full outer join of two grouped counts (round-5): per-user event
     counts ⟗ per-customer order counts — both null directions are
@@ -2748,6 +2807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": _q_repetition_ratio,
         "mode_per_group": _q_mode_per_group,
         "full_outer_join": _q_full_outer_join,
+        "json_extract": _q_json_extract,
+        "first_last_value": _q_first_last_value,
         "approx_quantiles": _q_approx_quantiles,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
@@ -3586,6 +3647,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_grams, n_unique_grams, "
         "1.0 - n_unique_grams / CAST(n_grams AS DOUBLE) AS rep_ratio "
         "FROM agg WHERE 100*n_unique_grams < 95*n_grams"
+    )
+    # round-5: JSON sidecar extraction — regexp capture == json path on
+    # this corpus (single integer field), grouped sum/count
+    out["json_extract"] = (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT)) "
+        "AS BIGINT) AS sum_k, "
+        "COUNT(*) AS n FROM events GROUP BY event_type"
+    )
+    # round-5: FIRST_VALUE/LAST_VALUE over full partitions (event_id is
+    # unique within user, so first/last are well-defined)
+    out["first_last_value"] = (
+        "SELECT DISTINCT user_id, "
+        "FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY event_id) "
+        "AS first_type, "
+        "LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type "
+        "FROM events"
     )
     # round-5: full outer join of two grouped counts, COALESCE both ways
     out["full_outer_join"] = (

@@ -2626,6 +2626,24 @@ def _q_mode_per_group(sf_dir: str):
     return mode_per_group(ev, "user_id", "event_type")
 
 
+def _q_unpivot(sf_dir: str):
+    """UNPIVOT / melt (round-5): lineitem's three price metrics into
+    long form — pure map-side width-3 fan-out, zero shuffle; the id
+    columns are reused by reference per slice."""
+    from osmptparser_ray.stages.relational import unpivot
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _q_json_extract(sf_dir: str):
     """JSON sidecar field extraction (round-5): pull the integer ``k``
     out of the events ``props`` JSON string with ONE RE2 kernel
@@ -2809,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": _q_full_outer_join,
         "json_extract": _q_json_extract,
         "first_last_value": _q_first_last_value,
+        "unpivot": _q_unpivot,
         "approx_quantiles": _q_approx_quantiles,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
@@ -3647,6 +3666,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_grams, n_unique_grams, "
         "1.0 - n_unique_grams / CAST(n_grams AS DOUBLE) AS rep_ratio "
         "FROM agg WHERE 100*n_unique_grams < 95*n_grams"
+    )
+    # round-5: UNPIVOT lineitem price metrics to long form; lineitem's
+    # three metric columns are all DOUBLE so no cast is needed
+    out["unpivot"] = (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "
+        "l_quantity AS value FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+        "l_extendedprice FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "l_discount FROM lineitem"
     )
     # round-5: JSON sidecar extraction — regexp capture == json path on
     # this corpus (single integer field), grouped sum/count

@@ -3056,3 +3056,54 @@ def mode_per_group(
         counts, key_col, count_col, 1, tiebreak_col=val_col, descending=True
     )
     return top.drop_columns(["rank"])
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: "list[str]",
+    value_cols: "list[str]",
+    *,
+    metric_col: str = "metric",
+    value_col: str = "value",
+    value_type: "pa.DataType | None" = None,
+) -> rd.Dataset:
+    """Wide → long reshape (SQL UNPIVOT / pandas melt): one output row
+    per input row per value column, ``(id_cols..., metric, value)``.
+
+    Pure map-side — zero shuffle, zero per-row Python: each batch emits
+    ``len(value_cols)`` column-slice tables (the id columns are reused
+    by reference, the metric column is a constant-run array) that Arrow
+    concatenates without copying value buffers. At 100 TB this is a
+    streaming width-k fan-out with no exchange at all.
+
+    ``value_type``: optional unification cast (default: the value
+    columns must already share one type — loud error otherwise, since a
+    silent promote would diverge from a SQL oracle's CAST).
+    """
+    vt = value_type
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for vc in value_cols:
+            col = batch[vc]
+            if vt is not None:
+                col = pc.cast(col, vt)
+            arrays = [batch[c] for c in id_cols] + [
+                pa.array([vc] * n, pa.string()),
+                col,
+            ]
+            parts.append(
+                pa.table(
+                    dict(zip(id_cols + [metric_col, value_col], arrays))
+                )
+            )
+        try:
+            return pa.concat_tables(parts)
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                f"unpivot: value columns {value_cols} have mixed types and "
+                "no value_type cast was given"
+            ) from e
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -978,3 +978,50 @@ class TestGlobalIndex:
         out = global_index(ds, "id", n_shards=4)
         assert out.count() == 0
         assert set(out.schema().names) == {"id", "pos", "shard"}
+
+
+class TestUnpivot:
+    def test_long_form_matches_manual(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import unpivot
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "a": pa.array([1.5, 2.5], pa.float64()),
+                "b": pa.array([10.0, 20.0], pa.float64()),
+            }
+        )
+        out = (
+            unpivot(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"])
+            .to_pandas()
+            .sort_values(["id", "metric"])
+            .reset_index(drop=True)
+        )
+        assert list(out.columns) == ["id", "metric", "value"]
+        assert len(out) == 4
+        assert out.loc[(out.id == 1) & (out.metric == "a"), "value"].item() == 1.5
+        assert out.loc[(out.id == 2) & (out.metric == "b"), "value"].item() == 20.0
+
+    def test_mixed_types_loud_and_cast_escape(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import unpivot
+
+        t = pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "a": pa.array([1], pa.int64()),
+                "b": pa.array([2.0], pa.float64()),
+            }
+        )
+        with _pytest.raises(Exception, match="mixed types"):
+            unpivot(rd.from_arrow(t), ["id"], ["a", "b"]).to_pandas()
+        ok = unpivot(
+            rd.from_arrow(t), ["id"], ["a", "b"], value_type=pa.float64()
+        ).to_pandas()
+        assert sorted(ok.value) == [1.0, 2.0]

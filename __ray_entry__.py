@@ -2626,6 +2626,58 @@ def _q_mode_per_group(sf_dir: str):
     return mode_per_group(ev, "user_id", "event_type")
 
 
+def _q_webtext_e2e(sf_dir: str):
+    """End-to-end training-data prep chain (round-5 flagship
+    composition): Gopher repetition gate (keep docs whose duplicate
+    bigram fraction ≤ 5% — integer predicate, exact) → C4-style global
+    span dedup with reassembly → doc_id⨝lang hash join (the honest
+    scale shape: the metadata side is corpus-sized, so no broadcast) →
+    per-language doc/word accounting. Three exchanges total (span
+    groupby, reassembly sort, metadata join) — each stage streams."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmptparser_ray.text.analysis import add_repetition_ratio
+    from osmptparser_ray.text.dedup import span_dedup
+    from osmptparser_ray.util import join_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    rep = add_repetition_ratio(docs, "text", n=2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = t["n_unique_grams"].to_numpy(zero_copy_only=False)
+        n = t["n_grams"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((n > 0) & (100 * u >= 95 * n))).select(
+            ["doc_id", "text", "lang"]
+        )
+
+    kept = rep.map_batches(keep, batch_format="pyarrow")
+    deduped = span_dedup(
+        kept.drop_columns(["lang"]), span_words=3
+    )
+
+    def words(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text_dedup"].combine_chunks(), pattern=" ")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_words": pc.cast(n, pa.int64())}
+        )
+
+    counted = deduped.map_batches(words, batch_format="pyarrow")
+    meta = kept.drop_columns(["text"])
+    joined = counted.join(
+        meta,
+        join_type="inner",
+        num_partitions=join_partitions(rows=10_000),
+        on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return (
+        joined.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_words", alias_name="sum_words"))
+    )
+
+
 def _q_unpivot(sf_dir: str):
     """UNPIVOT / melt (round-5): lineitem's three price metrics into
     long form — pure map-side width-3 fan-out, zero shuffle; the id
@@ -2828,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": _q_json_extract,
         "first_last_value": _q_first_last_value,
         "unpivot": _q_unpivot,
+        "webtext_e2e": _q_webtext_e2e,
         "approx_quantiles": _q_approx_quantiles,
         "exact_dedup": _q_exact_dedup,
         "quality_filter": _q_quality_filter,
@@ -3666,6 +3719,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_grams, n_unique_grams, "
         "1.0 - n_unique_grams / CAST(n_grams AS DOUBLE) AS rep_ratio "
         "FROM agg WHERE 100*n_unique_grams < 95*n_grams"
+    )
+    # round-5 flagship composition: repetition gate -> span dedup ->
+    # metadata join -> per-lang accounting, one CTE chain
+    out["webtext_e2e"] = (
+        "WITH words0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w FROM words0), "
+        "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM pos), "
+        "rep AS (SELECT doc_id, count(*) AS n_g, count(DISTINCT gram) AS n_u "
+        "FROM bg GROUP BY doc_id), "
+        "keep AS (SELECT d.doc_id, d.text, d.lang FROM documents d "
+        "JOIN rep r USING(doc_id) WHERE 100*r.n_u >= 95*r.n_g), "
+        "words AS (SELECT doc_id, string_split(text, ' ') AS w FROM keep), "
+        "spans AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) "
+        "AS ord, w FROM words), "
+        "s2 AS (SELECT doc_id, ord, array_to_string(w[ord*3+1 : ord*3+3], ' ') "
+        "AS span FROM spans), "
+        "kept AS (SELECT doc_id, ord, span, ROW_NUMBER() OVER "
+        "(PARTITION BY span ORDER BY doc_id, ord) AS rn FROM s2), "
+        "re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY ord) AS text_dedup "
+        "FROM kept WHERE rn = 1 GROUP BY doc_id) "
+        "SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(string_split(re.text_dedup, ' '))) AS BIGINT) AS sum_words "
+        "FROM re JOIN keep k USING(doc_id) GROUP BY k.lang"
     )
     # round-5: UNPIVOT lineitem price metrics to long form; lineitem's
     # three metric columns are all DOUBLE so no cast is needed

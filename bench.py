@@ -246,6 +246,13 @@ def run_benches(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "skyline",
         "group_concat",
         "kmeans_planted",
+        # round-5 late-session operators
+        "span_dedup",
+        "repetition_ratio",
+        "mode_per_group",
+        "webtext_e2e",
+        "unpivot",
+        "full_outer_join",
     ):
         t0 = time.perf_counter()
         res = q[name](sf_dir)

@@ -3090,7 +3090,7 @@ def unpivot(
             if vt is not None:
                 col = pc.cast(col, vt)
             arrays = [batch[c] for c in id_cols] + [
-                pa.array([vc] * n, pa.string()),
+                pa.repeat(pa.scalar(vc, pa.string()), n),
                 col,
             ]
             parts.append(

@@ -94,7 +94,7 @@ def extract_elements(
     *,
     include_url: bool = False,
     validate: bool = True,
-    batch_size: int = 256,
+    batch_size: int = 1024,
     concurrency: Optional[int | tuple[int, int]] = None,
 ) -> rd.Dataset:
     """pages → unified element rows.
@@ -103,6 +103,14 @@ def extract_elements(
     sources.extract.extract_batch) — actor-pool dispatch overhead would
     cap throughput here; pass ``concurrency`` to force an actor pool when
     the extractor grows real per-actor state.
+
+    ``batch_size`` default from the round-5 contention experiment
+    (interleaved A/B, 13.8M elements / 32 cpus, medians of 3): 64 →
+    6.77 s, 256 → 5.22 s, 1024 → 4.40 s, 4096 → 5.81 s. Bigger batches
+    win until task count drops below what load-balancing needs — the
+    "smaller read batches parse hot-in-cache" hypothesis (NOTES_ROUND4
+    #1) is REFUTED at this scale; dispatch overhead dominates cache
+    effects.
     """
     if concurrency is not None:
         return pages.map_batches(

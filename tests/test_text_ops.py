@@ -932,3 +932,23 @@ class TestModePerGroup:
         )
         out = mode_per_group(rd.from_arrow(t).repartition(2), "k", "v").to_pandas()
         assert list(out.v) == ["a"] and list(out.cnt) == [2]
+
+
+class TestRound5EmptyInputs:
+    def test_new_ops_handle_empty(self, ray_session):
+        import ray.data as rd
+
+        from osmptparser_ray.stages.relational import mode_per_group, unpivot
+        from osmptparser_ray.text.analysis import add_repetition_ratio
+        from osmptparser_ray.text.dedup import span_dedup
+
+        e_docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        e_kv = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+        )
+        assert len(span_dedup(e_docs).to_pandas()) == 0
+        assert len(add_repetition_ratio(e_docs).to_pandas()) == 0
+        assert len(mode_per_group(e_kv, "k", "v").to_pandas()) == 0
+        assert len(unpivot(e_kv, ["k"], ["v"]).to_pandas()) == 0
